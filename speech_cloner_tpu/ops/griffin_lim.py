@@ -1,0 +1,94 @@
+"""Griffin-Lim phase reconstruction, fully on device.
+
+The reference runs 200 serial librosa istft/stft rounds on host CPU — the
+dominant inference cost (audio_lib.py:249-274, test.py:497). Here the whole
+loop is a ``jax.lax.fori_loop`` over batched rfft/irfft + slice-based
+overlap-add, compiled once and resident in HBM; the host only sees the final
+waveform.
+
+`from_power_to_wav` mirrors audio_lib.py:278-308: dB denorm
+sqrt(db_to_power(P/0.01 - 80)), optional spectral sharpening exponent
+``realse`` with mean-power renorm, inverse pre-emphasis (associative scan),
+output amplitude norm.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .db import db_to_power
+from .preemphasis import inv_preemphasis
+from .stft import istft, stft
+
+
+def griffin_lim(
+    stft_amp,
+    win_length: int,
+    hop_length: int,
+    num_iters: int = 200,
+    n_fft: int | None = None,
+    window: str = "hann",
+    key=None,
+    init_phase=None,
+):
+    """Phase reconstruction from a time-major magnitude spectrogram [T, F].
+
+    Reference loop structure (audio_lib.py:255-274): random phase in [0, pi),
+    then num_iters rounds of istft -> stft -> keep-phase/replace-magnitude,
+    where the final round is istft only. ``init_phase`` overrides the random
+    init for deterministic/parity runs.
+    """
+    if n_fft is None:
+        n_fft = win_length
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    stft_amp = stft_amp.astype(jnp.float32)
+    if init_phase is not None:
+        phase0 = jnp.asarray(init_phase, dtype=jnp.float32)
+    else:
+        phase0 = jnp.pi * jax.random.uniform(key, stft_amp.shape, dtype=jnp.float32)
+    S0 = stft_amp * jnp.exp(1j * phase0)
+
+    def body(_, S):
+        wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+                    window=window, xp=jnp)
+        S2 = stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+                  window=window, xp=jnp)
+        phase = jnp.angle(S2)
+        return stft_amp * jnp.exp(1j * phase)
+
+    S = jax.lax.fori_loop(0, max(num_iters - 1, 0), body, S0)
+    return istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+                 window=window, xp=jnp)
+
+
+def from_power_to_wav(
+    P,
+    P_dB_norm_factor: float = 0.01,
+    pre_emphasis: float = 0.97,
+    hop_length: int = 80,
+    win_length: int = 400,
+    mean_abs_amp_norm: float = 0.01,
+    n_iter: int = 200,
+    n_fft: int | None = None,
+    realse: float = 1.0,
+    key=None,
+):
+    """Normalized power_dB map [T, n_stft] -> waveform, entirely on device."""
+    P = jnp.maximum(0.0, P)
+
+    if realse != 1.0:  # spectral sharpening with mean-power renorm (audio_lib.py:292-296)
+        p_mean = jnp.mean(P)
+        P = P**realse
+        P = (p_mean / jnp.mean(P)) * P
+
+    F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
+    y = griffin_lim(F, win_length, hop_length, num_iters=n_iter, n_fft=n_fft, key=key)
+
+    if pre_emphasis != 0.0:
+        y = inv_preemphasis(y, pre_emphasis)
+
+    y = y * (mean_abs_amp_norm / jnp.mean(jnp.abs(y)))
+    return y

@@ -1,0 +1,25 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices.
+
+Must run before the first `import jax` anywhere in the test session so the
+XLA client is created with the forced host platform (SURVEY.md §4: mesh tests
+via --xla_force_host_platform_device_count=8).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins tpu
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" via
+# jax.config.update at interpreter start, which outranks the env var —
+# override it back to cpu for the test session.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
