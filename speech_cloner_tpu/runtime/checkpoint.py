@@ -1,0 +1,165 @@
+"""Checkpoint / resume: pytree save-restore with reference-compatible naming.
+
+Reference semantics being reproduced (SURVEY.md §5):
+- save path ``<model_path>/<model_name>-<global_step>`` (encoder.py:223-235),
+- restore-latest by scanning the directory (encoder.py:238-253; we use the
+  step suffix instead of TF's `checkpoint` bookkeeping file),
+- optimizer schedule state (step, epoch, lr) restores with the weights —
+  the reference kept them inside the graph (encoder.py:164-169),
+- pruning: keep N evenly-spaced checkpoints above a step floor
+  (clean_ckpt.py:27-76).
+
+Format: one ``.npz`` per checkpoint holding the flattened pytree (path-joined
+keys), plus a JSON sidecar snapshotting the config next to the weights like
+the reference's enc_14_ckpt/encoder_14_cfg_d.json. Saves are async: arrays
+are fetched to host, then written on a daemon thread so the train loop never
+blocks on disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+
+import jax
+import numpy as np
+
+_SEP = "//"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        out[f"{prefix}__len__"] = np.asarray(len(tree))
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}{_SEP}"))
+    else:
+        out[prefix.removesuffix(_SEP)] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict):
+    # group by first path segment
+    if list(flat.keys()) == [""]:
+        return flat[""]
+    groups: dict[str, dict] = {}
+    scalars = {}
+    for k, v in flat.items():
+        if _SEP in k:
+            head, rest = k.split(_SEP, 1)
+            groups.setdefault(head, {})[rest] = v
+        else:
+            scalars[k] = v
+    if "__len__" in scalars:
+        n = int(scalars["__len__"])
+        return [_unflatten(groups[str(i)]) if str(i) in groups else scalars[str(i)]
+                for i in range(n)]
+    out = {}
+    for k, v in scalars.items():
+        out[k] = v
+    for k, g in groups.items():
+        out[k] = _unflatten(g)
+    return out
+
+
+class Checkpointer:
+    """Save/restore/prune for a named model directory."""
+
+    def __init__(self, model_path: str, model_name: str):
+        self.model_path = model_path
+        self.model_name = model_name
+        self._pattern = re.compile(re.escape(model_name) + r"-(\d+)\.npz$")
+        self._last_thread: threading.Thread | None = None
+        os.makedirs(model_path, exist_ok=True)
+
+    # ------------------------------------------------------------- paths ---
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.model_path, f"{self.model_name}-{int(step)}.npz")
+
+    def steps(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.model_path):
+            m = self._pattern.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_step(self) -> int | None:
+        s = self.steps()
+        return s[-1] if s else None
+
+    # -------------------------------------------------------------- save ---
+
+    def save(self, tree, step: int, config: dict | None = None, sync: bool = False):
+        """Snapshot a pytree at ``step``. ``tree`` typically bundles
+        {params, state, opt_state, step, epoch, rng}."""
+        host_tree = jax.tree.map(lambda a: np.asarray(a), tree)
+        flat = _flatten(host_tree)
+        path = self._path(step)
+
+        def _write():
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, **flat)
+            os.replace(tmp, path)
+            if config is not None:
+                with open(os.path.join(self.model_path,
+                                       f"{self.model_name}_cfg_d.json"), "w") as f:
+                    json.dump(config, f, indent=1, sort_keys=True, default=str)
+
+        self.wait()
+        t = threading.Thread(target=_write, daemon=True)
+        t.start()
+        self._last_thread = t
+        if sync:
+            self.wait()
+        return path
+
+    def wait(self):
+        if self._last_thread is not None:
+            self._last_thread.join()
+            self._last_thread = None
+
+    # ----------------------------------------------------------- restore ---
+
+    def restore(self, step: int | None = None):
+        """Load a checkpoint pytree; latest when step is None. Returns
+        (tree, step) or (None, None) when nothing exists."""
+        self.wait()
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                return None, None
+        with np.load(self._path(step), allow_pickle=False) as z:
+            flat = {k: z[k] for k in z.files}
+        return _unflatten(flat), step
+
+    # ------------------------------------------------------------- prune ---
+
+    def prune(self, n_keep: int = 100, step_min: int = 0) -> int:
+        """Keep ``n_keep`` evenly spaced checkpoints with step >= step_min,
+        always retaining first and last survivors (clean_ckpt.py semantics).
+        Returns number of deleted files."""
+        self.wait()
+        steps = self.steps()
+        deleted = 0
+        survivors = [s for s in steps if s >= step_min]
+        for s in steps:
+            if s < step_min:
+                os.remove(self._path(s))
+                deleted += 1
+        if not survivors:
+            return deleted
+        delta = max(len(survivors) // n_keep, 1)
+        keep_idx = set(range(0, len(survivors), delta))
+        keep_idx.add(len(survivors) - 1)
+        for i, s in enumerate(survivors):
+            if i not in keep_idx:
+                os.remove(self._path(s))
+                deleted += 1
+        return deleted

@@ -1,0 +1,143 @@
+"""Model shape/dtype/jit tests (encoder, decoder, speaker-id) and
+checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_cloner_tpu.models import decoder, encoder, speaker_id
+from speech_cloner_tpu.runtime.checkpoint import Checkpointer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _small_enc_cfg():
+    return encoder.EncoderConfig(n_timesteps=40, input_dim=16, n_output=61,
+                                 num_conv_banks=3, num_highwaynet_blocks=1)
+
+
+def _small_dec_cfg():
+    return decoder.DecoderConfig(
+        n_timesteps=40, input_dim=61,
+        step1=decoder.DecoderStepConfig(32, 4, 2, 20),
+        step2=decoder.DecoderStepConfig(48, 4, 2, 51),
+    )
+
+
+def test_encoder_shapes_train_and_eval():
+    cfg = _small_enc_cfg()
+    params, state = encoder.init(KEY, cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 40, 16)), jnp.float32)
+
+    logits, new_state = encoder.apply(params, state, x, cfg=cfg, train=True,
+                                      rng=jax.random.PRNGKey(1))
+    assert logits.shape == (2, 40, 61)
+    # train mode must update BN moving stats
+    assert not np.allclose(np.asarray(new_state["CBHG"]["banks"]["bn"]["mean"]),
+                           np.asarray(state["CBHG"]["banks"]["bn"]["mean"]))
+
+    logits_e, state_e = encoder.apply(params, state, x, cfg=cfg, train=False)
+    assert logits_e.shape == (2, 40, 61)
+    # eval mode leaves state untouched
+    np.testing.assert_array_equal(np.asarray(state_e["CBHG"]["bn1"]["mean"]),
+                                  np.asarray(state["CBHG"]["bn1"]["mean"]))
+    probs = encoder.posteriors(logits_e)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_encoder_jit_matches_eager():
+    cfg = _small_enc_cfg()
+    params, state = encoder.init(KEY, cfg)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 40, 16)), jnp.float32)
+    eager, _ = encoder.apply(params, state, x, cfg=cfg, train=False)
+    jitted, _ = jax.jit(
+        lambda p, s, xx: encoder.apply(p, s, xx, cfg=cfg, train=False)
+    )(params, state, x)
+    np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-5)
+
+
+def test_decoder_shapes_and_scheduled_mix():
+    cfg = _small_dec_cfg()
+    params, state = decoder.init(KEY, cfg)
+    ppg = jax.nn.softmax(
+        jnp.asarray(np.random.default_rng(2).standard_normal((2, 40, 61)), jnp.float32))
+    y_mel, y_stft, _ = decoder.apply(params, state, ppg, cfg=cfg, train=False)
+    assert y_mel.shape == (2, 40, 20)
+    assert y_stft.shape == (2, 40, 51)
+
+    # scheduled mel mix: f=0 must feed target_mel into step2 (decoder.py:152)
+    cfg_mix = decoder.DecoderConfig(
+        n_timesteps=40, input_dim=61, step1=cfg.step1, step2=cfg.step2,
+        use_target_mel_step2=True)
+    tgt = jnp.zeros((2, 40, 20))
+    _, y_stft0, _ = decoder.apply(params, state, ppg, cfg=cfg_mix, train=False,
+                                  target_mel=tgt, f_mel_pred=0.0)
+    _, y_stft_t, _ = decoder.apply(params, state, jnp.zeros_like(ppg) + ppg,
+                                   cfg=cfg_mix, train=False,
+                                   target_mel=y_mel, f_mel_pred=1.0)
+    # f=1.0 equals the no-mix path
+    _, y_stft_plain, _ = decoder.apply(params, state, ppg, cfg=cfg, train=False)
+    np.testing.assert_allclose(np.asarray(y_stft_t), np.asarray(y_stft_plain), atol=1e-5)
+    assert not np.allclose(np.asarray(y_stft0), np.asarray(y_stft_plain))
+
+
+def test_speaker_id_shapes():
+    cfg = speaker_id.SpeakerIdConfig(n_timesteps=60, n_features=41, n_output=8)
+    params, state = speaker_id.init(KEY, cfg)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 60, 41)), jnp.float32)
+    logits, _ = speaker_id.apply(params, state, x, cfg=cfg, train=False)
+    assert logits.shape == (2, 8)
+    logits_t, new_state = speaker_id.apply(params, state, x, cfg=cfg, train=True)
+    assert logits_t.shape == (2, 8)
+    assert not np.allclose(np.asarray(new_state["bn"]["mean"]),
+                           np.asarray(state["bn"]["mean"]))
+
+
+def test_checkpoint_roundtrip_and_prune(tmp_path):
+    cfg = _small_enc_cfg()
+    params, state = encoder.init(KEY, cfg)
+    ck = Checkpointer(str(tmp_path), "encoder")
+    bundle = {"params": params, "state": state, "step": 7, "epoch": 2}
+    ck.save(bundle, step=7, config={"note": "test"}, sync=True)
+    ck.save(bundle, step=14, sync=True)
+
+    restored, step = ck.restore()
+    assert step == 14
+    ref_leaves = jax.tree.leaves(params)
+    got_leaves = jax.tree.leaves(restored["params"])
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored["step"]) == 7
+
+    # prune: floor removes step 7
+    for s in (21, 28, 35):
+        ck.save(bundle, step=s, sync=True)
+    ck.prune(n_keep=2, step_min=14)
+    assert 7 not in ck.steps()
+    assert 35 in ck.steps()
+
+
+def test_config_roundtrip(tmp_path):
+    from speech_cloner_tpu.runtime.config import load_cfg_d, save_cfg_d
+
+    cfg = {"a": 1, "nested": {"b": [1, 2]}}
+    p = str(tmp_path / "cfg.json")
+    assert save_cfg_d(cfg, p)
+    assert load_cfg_d(p) == cfg
+    assert not save_cfg_d(cfg, p)  # unchanged -> no write
+    assert not save_cfg_d({"a": 2}, p, on_conflict="keep")
+    assert load_cfg_d(p) == cfg
+
+
+def test_reference_cfg_construction():
+    """Models build from the shipped hp/*.json configs."""
+    import json
+
+    with open("/root/reference/hp/encoder_cfg_d.json") as f:
+        enc_cfg = encoder.config_from_cfg_d(json.load(f))
+    assert enc_cfg.input_dim == 80 and enc_cfg.num_conv_banks == 6
+    with open("/root/reference/hp/decoder_cfg_d.json") as f:
+        dec_cfg = decoder.config_from_cfg_d(json.load(f))
+    assert dec_cfg.step1.n_output == 80 and dec_cfg.step2.n_output == 201
+    assert dec_cfg.step2.embed_size == 512
