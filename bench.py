@@ -1,0 +1,108 @@
+"""Benchmark harness: end-to-end conversion RTF on the real chip.
+
+Measures the full clone path (wav -> on-device features -> encoder PPG ->
+decoder mel+linear -> 200-iteration Griffin-Lim -> wav) on a synthetic 60 s
+16 kHz clip with production model shapes (enc_14 geometry + shipped decoder
+config), then prints ONE JSON line:
+
+  {"metric": "e2e_conversion_rtf", "value": <rtf>, "unit": "rtf",
+   "vs_baseline": <0.05 / rtf>}
+
+vs_baseline > 1 means faster than the BASELINE.json north-star target of
+RTF < 0.05 on one v5e chip. The reference has no machine-measurable baseline
+(CPU librosa + TF-1 feed_dict, no published numbers — BASELINE.md), so the
+driver-defined target is the denominator.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speech_cloner_tpu.models import decoder as dec_m
+    from speech_cloner_tpu.models import encoder as enc_m
+    from speech_cloner_tpu.pipeline.clone import make_pipeline
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    enc_ckpt = "/root/reference/enc_14_ckpt/encoder-136512"
+    enc_ckpt = enc_ckpt if os.path.exists(enc_ckpt + ".index") else None
+
+    pipe = make_pipeline(
+        enc_cfg=enc_m.EncoderConfig(),
+        dec_cfg=dec_m.DecoderConfig(),
+        enc_ckpt=enc_ckpt,
+        n_iter=200,
+        realse=1.2,
+    )
+
+    # synthetic 60 s speech-band test clip
+    sr = pipe.feat_cfg.sample_rate
+    dur_s = 60.0
+    rng = np.random.default_rng(0)
+    t = np.arange(int(sr * dur_s)) / sr
+    wav = (
+        0.4 * np.sin(2 * np.pi * 180 * t)
+        + 0.3 * np.sin(2 * np.pi * 620 * t + np.sin(2 * np.pi * 3 * t))
+        + 0.05 * rng.standard_normal(t.shape)
+    ).astype(np.float32)
+
+    # pad exactly like ClonePipeline.convert, then time the raw device program
+    T = pipe.enc_cfg.n_timesteps
+    hop = pipe.feat_cfg.hop_length
+    spw = T * hop
+    pad = (-len(wav)) % spw
+    wav_p = jnp.asarray(np.pad(wav, (0, pad)))
+    key = jax.random.PRNGKey(0)
+
+    fn = jax.jit(lambda w, k: pipe.device_convert(w, k))
+
+    log("compiling...")
+    t0 = time.perf_counter()
+    out = fn(wav_p, key)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    n_runs = 5
+    times = []
+    for i in range(n_runs):
+        t0 = time.perf_counter()
+        out = fn(wav_p, key)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rtf = best / dur_s
+    frames = out[1].shape[0]
+    mel_fps = frames / best
+    log(f"times: {[f'{x:.3f}' for x in times]} -> best {best:.3f}s, "
+        f"rtf {rtf:.5f}, mel frames/s {mel_fps:.0f}")
+
+    print(json.dumps({
+        "metric": "e2e_conversion_rtf",
+        "value": rtf,
+        "unit": "rtf",
+        "vs_baseline": 0.05 / rtf,
+        "extra": {
+            "mel_frames_per_sec_per_chip": mel_fps,
+            "clip_seconds": dur_s,
+            "griffin_lim_iters": pipe.n_iter,
+            "best_wall_s": best,
+            "backend": jax.default_backend(),
+            "encoder_weights": "enc_14_ckpt" if enc_ckpt else "random",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""End-to-end clone pipeline (reference: test.py)."""
+
+from .clone import ClonePipeline, make_pipeline
+from .stitch import compound, pad_to_multiple, shifted_window_stack, window_stack
+
+__all__ = [
+    "ClonePipeline", "compound", "make_pipeline", "pad_to_multiple",
+    "shifted_window_stack", "window_stack",
+]

@@ -1,0 +1,170 @@
+"""End-to-end voice conversion: source wav -> cloned wav, entirely on device.
+
+Rebuild of the reference's inference app (test.py:87-205 `conversion2` /
+`conversion`): features -> encoder PPG -> decoder mel/linear -> Griffin-Lim,
+but as ONE jit-compiled device program per padded input length — the
+reference round-trips through host numpy between every stage and runs
+Griffin-Lim on CPU (its dominant cost, SURVEY.md §6).
+
+The whole model forward runs all windows as one batch (the reference chunked
+by 32 through feed_dict, decoder.py:452-458).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import decoder as dec_m
+from ..models import encoder as enc_m
+from ..ops import feature_matrices, from_power_to_wav, mfcc_input
+from ..ops.features import FeatureConfig
+from .stitch import compound, pad_to_multiple, shifted_window_stack, stitch_single, window_stack
+
+
+@dataclasses.dataclass(frozen=True)
+class ClonePipeline:
+    """Bundles configs + params for the full clone path.
+
+    Build with `make_pipeline`; call `.convert(wav)` (host API, handles
+    padding/bucketing) or use `jit_convert` for the raw device function.
+    """
+
+    enc_cfg: enc_m.EncoderConfig
+    dec_cfg: dec_m.DecoderConfig
+    feat_cfg: FeatureConfig
+    enc_params: dict
+    enc_state: dict
+    dec_params: dict
+    dec_state: dict
+    n_iter: int = 200
+    realse: float = 1.0
+    mean_abs_amp_norm: float = 0.045  # 15 * 0.003 (test.py:153,165)
+
+    # ------------------------------------------------------------ device ---
+
+    def forward_windows(self, mfcc_windows):
+        """[K, T, E] MFCC windows -> (y_mel [K,T,80], y_stft [K,T,201], ppg)."""
+        logits, _ = enc_m.apply(self.enc_params, self.enc_state, mfcc_windows,
+                                cfg=self.enc_cfg, train=False)
+        ppg = enc_m.posteriors(logits)
+        y_mel, y_stft, _ = dec_m.apply(self.dec_params, self.dec_state, ppg,
+                                       cfg=self.dec_cfg, train=False)
+        return y_mel, y_stft, ppg
+
+    def device_convert(self, wav, key):
+        """Padded wav [L] -> (pred wav [~L], mel_pred, stft_pred, ppg).
+
+        L must satisfy: n_frames = L//hop + 1 and the windowing below; use
+        `convert` for arbitrary host arrays.
+        """
+        T = self.enc_cfg.n_timesteps
+        mfcc, _, _ = mfcc_input(wav, self.feat_cfg, xp=jnp)
+        n_frames = mfcc.shape[0]
+        K = n_frames // T
+        mfcc = mfcc[: K * T]
+
+        y0 = window_stack(mfcc, T)
+        if K > 1:
+            # two half-offset passes stitched by center halves (test.py:123-132)
+            y1 = shifted_window_stack(mfcc, T)
+            both = jnp.concatenate([y0, y1], axis=0)
+            mel_b, stft_b, ppg_b = self.forward_windows(both)
+            mel_pred = compound(mel_b[:K], mel_b[K:])
+            stft_pred = compound(stft_b[:K], stft_b[K:])
+            ppg = jnp.concatenate([ppg_b[:K].reshape(K * T, -1)], axis=0)
+        else:
+            mel_w, stft_w, ppg_w = self.forward_windows(y0)
+            mel_pred = stitch_single(mel_w)
+            stft_pred = stitch_single(stft_w)
+            ppg = ppg_w.reshape(K * T, -1)
+
+        wav_pred = from_power_to_wav(
+            stft_pred,
+            P_dB_norm_factor=self.feat_cfg.P_dB_norm_factor,
+            pre_emphasis=self.feat_cfg.pre_emphasis,
+            hop_length=self.feat_cfg.hop_length,
+            win_length=self.feat_cfg.win_length,
+            mean_abs_amp_norm=self.mean_abs_amp_norm,
+            n_iter=self.n_iter,
+            n_fft=self.feat_cfg.n_fft_,
+            realse=self.realse,
+            key=key,
+        )
+        return wav_pred, mel_pred, stft_pred, ppg
+
+    # -------------------------------------------------------------- host ---
+
+    def convert(self, wav: np.ndarray, seed: int = 0):
+        """Arbitrary-length host waveform -> cloned waveform (numpy).
+
+        Pads to a whole number of windows so the jitted program is reused
+        across same-bucket lengths.
+        """
+        T = self.enc_cfg.n_timesteps
+        hop = self.feat_cfg.hop_length
+        samples_per_window = T * hop
+        L = wav.shape[0]
+        pad = (-L) % samples_per_window
+        # ensure at least one full window
+        if L + pad < samples_per_window:
+            pad = samples_per_window - L
+        wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
+
+        fn = _jitted_device_convert(self, wav_p.shape[0])
+        out = fn(jnp.asarray(wav_p), jax.random.PRNGKey(seed))
+        wav_pred, mel_pred, stft_pred, ppg = out
+        return (np.asarray(wav_pred), np.asarray(mel_pred),
+                np.asarray(stft_pred), np.asarray(ppg))
+
+
+_JIT_CACHE: dict[tuple, object] = {}
+
+
+def _jitted_device_convert(p: ClonePipeline, length: int):
+    """One compiled program per (config, length) bucket."""
+    cache_key = (id(p.enc_params), id(p.dec_params), p.n_iter, p.realse, length)
+    fn = _JIT_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(lambda w, k: p.device_convert(w, k))
+        _JIT_CACHE[cache_key] = fn
+    return fn
+
+
+def make_pipeline(
+    enc_cfg=None,
+    dec_cfg=None,
+    feat_cfg=None,
+    enc_ckpt: str | None = None,
+    dec_ckpt: str | None = None,
+    seed: int = 0,
+    **kw,
+) -> ClonePipeline:
+    """Build a pipeline; loads TF reference checkpoints when paths given,
+    otherwise initializes fresh weights."""
+    enc_cfg = enc_cfg or enc_m.EncoderConfig()
+    dec_cfg = dec_cfg or dec_m.DecoderConfig()
+    feat_cfg = feat_cfg or FeatureConfig(calc_mfcc_derivate=True)
+
+    key = jax.random.PRNGKey(seed)
+    ke, kd = jax.random.split(key)
+    if enc_ckpt:
+        from ..runtime.tf_import import load_tf_encoder
+
+        enc_params, enc_state = load_tf_encoder(enc_ckpt, enc_cfg)
+    else:
+        enc_params, enc_state = enc_m.init(ke, enc_cfg)
+    if dec_ckpt:
+        from ..runtime.tf_import import load_tf_decoder
+
+        dec_params, dec_state = load_tf_decoder(dec_ckpt, dec_cfg)
+    else:
+        dec_params, dec_state = dec_m.init(kd, dec_cfg)
+
+    return ClonePipeline(enc_cfg=enc_cfg, dec_cfg=dec_cfg, feat_cfg=feat_cfg,
+                         enc_params=enc_params, enc_state=enc_state,
+                         dec_params=dec_params, dec_state=dec_state, **kw)

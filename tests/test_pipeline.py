@@ -1,0 +1,93 @@
+"""Pipeline tests: stitching parity with the reference compound(), and the
+end-to-end clone smoke on a synthetic 2.5-second wav."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_cloner_tpu.models import decoder as dec_m
+from speech_cloner_tpu.models import encoder as enc_m
+from speech_cloner_tpu.ops.features import FeatureConfig
+from speech_cloner_tpu.pipeline import clone, stitch
+
+
+def _ref_compound(y0, y1):
+    """Verbatim re-expression of test.py:46-84 in numpy for parity checking."""
+    n_quarter = y0.shape[1] // 4
+    i_0, i_1 = 1, 0
+    y_v = [y0[0, :-n_quarter, :]]
+    while True:
+        do_break = True
+        if i_1 < y1.shape[0]:
+            y_v.append(y1[i_1, n_quarter:-n_quarter, :])
+            i_1 += 1
+            do_break = False
+        if i_0 < y0.shape[0] - 1:
+            y_v.append(y0[i_0, n_quarter:-n_quarter, :])
+            i_0 += 1
+            do_break = False
+        if do_break:
+            break
+    y_v.append(y0[-1, n_quarter:, :])
+    return np.concatenate(y_v, axis=0)
+
+
+def test_compound_matches_reference():
+    rng = np.random.default_rng(0)
+    for K, T in ((2, 8), (3, 8), (5, 10), (8, 8)):
+        y0 = rng.standard_normal((K, T, 3)).astype(np.float32)
+        y1 = rng.standard_normal((K - 1, T, 3)).astype(np.float32)
+        ref = _ref_compound(y0, y1)
+        mine = np.asarray(stitch.compound(jnp.asarray(y0), jnp.asarray(y1)))
+        assert mine.shape == ref.shape
+        np.testing.assert_allclose(mine, ref, atol=0)
+
+
+def test_window_stacks():
+    x = np.arange(40, dtype=np.float32).reshape(20, 2)
+    w = stitch.window_stack(jnp.asarray(x), 5)
+    assert w.shape == (4, 5, 2)
+    s = stitch.shifted_window_stack(jnp.asarray(x), 5)
+    assert s.shape == (3, 5, 2)
+    np.testing.assert_array_equal(np.asarray(s[0, 0]), x[2])  # offset T/2 rows
+
+
+def _tiny_pipeline(n_iter=4):
+    enc_cfg = enc_m.EncoderConfig(n_timesteps=48, input_dim=80, n_output=61,
+                                  num_conv_banks=2, num_highwaynet_blocks=1)
+    dec_cfg = dec_m.DecoderConfig(
+        n_timesteps=48, input_dim=61,
+        step1=dec_m.DecoderStepConfig(32, 2, 1, 80),
+        step2=dec_m.DecoderStepConfig(48, 2, 1, 201),
+    )
+    feat_cfg = FeatureConfig(calc_mfcc_derivate=True)
+    return clone.make_pipeline(enc_cfg, dec_cfg, feat_cfg, n_iter=n_iter)
+
+
+def test_end_to_end_clone_smoke():
+    """wav in -> wav out with finite values and the right length scaling."""
+    sr = 16000
+    t = np.arange(2 * sr + 1234) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t) + 0.1 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+
+    p = _tiny_pipeline()
+    wav_pred, mel_pred, stft_pred, ppg = p.convert(wav)
+
+    T = p.enc_cfg.n_timesteps
+    hop = p.feat_cfg.hop_length
+    assert mel_pred.shape[1] == 80 and stft_pred.shape[1] == 201
+    assert mel_pred.shape[0] % T == 0
+    assert np.isfinite(wav_pred).all()
+    # PPG rows are probability distributions
+    np.testing.assert_allclose(ppg.sum(-1), 1.0, atol=1e-4)
+    # output wav duration ~ stitched frames * hop
+    assert abs(wav_pred.shape[0] - mel_pred.shape[0] * hop) <= p.feat_cfg.win_length
+
+
+def test_single_window_path():
+    sr = 16000
+    wav = np.sin(2 * np.pi * 330 * np.arange(sr // 8) / sr).astype(np.float32)
+    p = _tiny_pipeline()
+    wav_pred, mel_pred, _, _ = p.convert(wav)
+    assert mel_pred.shape[0] == p.enc_cfg.n_timesteps
+    assert np.isfinite(wav_pred).all()

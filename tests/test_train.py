@@ -1,0 +1,185 @@
+"""Train-step tests: loss decreases, schedules match the reference formulas,
+frozen encoder stays frozen, and the full distributed step runs on an
+8-virtual-device ('data','model') mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_cloner_tpu.models import decoder as dec_m
+from speech_cloner_tpu.models import encoder as enc_m
+from speech_cloner_tpu.models import speaker_id as spk_m
+from speech_cloner_tpu.parallel import batch_sharding, make_mesh, shard_params, shard_state
+from speech_cloner_tpu.train import (
+    DecoderLossConfig,
+    OptimizerConfig,
+    decoder_train_step,
+    encoder_eval_step,
+    encoder_train_step,
+    f_mel_schedule,
+    make_train_state,
+    next_epoch,
+    speaker_train_step,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _enc_setup(B=4, T=32, E=16, O=61):
+    cfg = enc_m.EncoderConfig(n_timesteps=T, input_dim=E, n_output=O,
+                              num_conv_banks=3, num_highwaynet_blocks=1)
+    params, state = enc_m.init(jax.random.PRNGKey(0), cfg)
+    opt_cfg = OptimizerConfig()
+    ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(1))
+    mfcc = jnp.asarray(RNG.standard_normal((B, T, E)), jnp.float32)
+    lbl = RNG.integers(0, O, (B, T))
+    phn = jnp.asarray(np.eye(O, dtype=np.float32)[lbl])
+    return cfg, opt_cfg, ts, mfcc, phn
+
+
+def test_encoder_train_loss_decreases():
+    cfg, _, ts, mfcc, phn = _enc_setup()
+    opt_cfg = OptimizerConfig(learning_rate=5e-3)
+    ts = make_train_state(ts["params"], ts["model_state"], opt_cfg, jax.random.PRNGKey(1))
+    opt = opt_cfg.make()
+    step = jax.jit(lambda t: encoder_train_step(t, mfcc, phn, cfg=cfg,
+                                                opt_cfg=opt_cfg, opt=opt))
+    losses = []
+    for _ in range(150):
+        ts, m = step(ts)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::30]
+    assert int(ts["step"]) == 150
+    ev = encoder_eval_step(ts["params"], ts["model_state"], mfcc, phn, cfg=cfg)
+    assert float(ev["acc"]) > 0.1
+
+
+def test_lr_schedule_matches_reference():
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, decay=1e-3)
+    # lr = lr0 / (1 + decay*epoch) (encoder.py:183)
+    for epoch in (0, 1, 10, 500):
+        np.testing.assert_allclose(float(opt_cfg.lr_at(jnp.asarray(float(epoch)))),
+                                   1e-3 / (1 + 1e-3 * epoch), rtol=1e-6)
+
+
+def test_f_mel_schedule_matches_reference():
+    # f = min(1, 1.02*tanh(epoch/500)) (decoder.py:259)
+    for epoch in (0, 100, 500, 5000):
+        got = float(f_mel_schedule(jnp.asarray(epoch, jnp.int32), 500.0))
+        ref = min(1.0, 1.02 * np.tanh(epoch / 500.0))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def _dec_setup(B=4, T=32):
+    enc_cfg = enc_m.EncoderConfig(n_timesteps=T, input_dim=16, n_output=61,
+                                  num_conv_banks=2, num_highwaynet_blocks=1)
+    enc_params, enc_state = enc_m.init(jax.random.PRNGKey(2), enc_cfg)
+    dec_cfg = dec_m.DecoderConfig(
+        n_timesteps=T, input_dim=61,
+        step1=dec_m.DecoderStepConfig(32, 3, 1, 20),
+        step2=dec_m.DecoderStepConfig(48, 3, 1, 51),
+        use_target_mel_step2=True,
+    )
+    params, state = dec_m.init(jax.random.PRNGKey(3), dec_cfg)
+    opt_cfg = OptimizerConfig()
+    ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(4))
+    mfcc = jnp.asarray(RNG.standard_normal((B, T, 16)), jnp.float32)
+    mel = jnp.asarray(RNG.standard_normal((B, T, 20)) * 0.1, jnp.float32)
+    stft = jnp.asarray(RNG.standard_normal((B, T, 51)) * 0.1, jnp.float32)
+    return enc_cfg, enc_params, enc_state, dec_cfg, opt_cfg, ts, mfcc, mel, stft
+
+
+def test_decoder_train_loss_decreases_and_encoder_frozen():
+    enc_cfg, enc_params, enc_state, dec_cfg, opt_cfg, ts, mfcc, mel, stft = _dec_setup()
+    opt = opt_cfg.make()
+    loss_cfg = DecoderLossConfig()
+    step = jax.jit(lambda t: decoder_train_step(
+        t, mfcc, mel, stft, enc_params=enc_params, enc_state=enc_state,
+        enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt))
+    enc_before = jax.tree.map(np.asarray, enc_params)
+    losses = []
+    for _ in range(20):
+        ts, m = step(ts)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[::5]
+    # frozen encoder params untouched (they're inputs, not TrainState)
+    for a, b in zip(jax.tree.leaves(enc_before), jax.tree.leaves(enc_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # f_mel schedule at epoch 0 is 0 -> step2 consumed target_mel
+    assert float(m["f_mel_pred"]) == 0.0
+    ts2 = next_epoch(ts)
+    assert int(ts2["epoch"]) == 1
+
+
+def test_speaker_train_step_runs():
+    cfg = spk_m.SpeakerIdConfig(n_timesteps=36, n_features=41, n_output=4)
+    params, state = spk_m.init(jax.random.PRNGKey(5), cfg)
+    opt_cfg = OptimizerConfig(learning_rate=1e-4)
+    opt = opt_cfg.make()
+    ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(6))
+    x = jnp.asarray(RNG.standard_normal((4, 36, 41)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[RNG.integers(0, 4, 4)])
+    step = jax.jit(lambda t: speaker_train_step(t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt))
+    losses = []
+    for _ in range(10):
+        ts, m = step(ts)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_distributed_decoder_train_step_8dev():
+    """Full decoder train step over a (data=4, model=2) mesh: DP-sharded batch,
+    TP-sharded bank kernels, one real step — the multichip dry-run path."""
+    assert jax.device_count() >= 8, "conftest must force 8 virtual CPU devices"
+    mesh = make_mesh(n_data=4, n_model=2)
+    enc_cfg, enc_params, enc_state, dec_cfg, opt_cfg, ts, mfcc, mel, stft = _dec_setup(B=8)
+    opt = opt_cfg.make()
+    loss_cfg = DecoderLossConfig()
+
+    with mesh:
+        ts = {**ts,
+              "params": shard_params(ts["params"], mesh),
+              "model_state": shard_state(ts["model_state"], mesh)}
+        enc_params = shard_params(enc_params, mesh)
+        enc_state = shard_state(enc_state, mesh)
+        bsh = batch_sharding(mesh)
+        mfcc, mel, stft = (jax.device_put(a, bsh) for a in (mfcc, mel, stft))
+
+        step = jax.jit(lambda t, a, b, c: decoder_train_step(
+            t, a, b, c, enc_params=enc_params, enc_state=enc_state,
+            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
+            opt_cfg=opt_cfg, opt=opt))
+        ts2, metrics = step(ts, mfcc, mel, stft)
+        assert np.isfinite(float(metrics["loss"]))
+        # TP sharding actually applied to the bank kernels
+        k0 = ts2["params"]["step2"]["CBHG"]["banks"]["kernels"][0]
+        assert "model" in str(k0.sharding.spec)
+
+        # a second step reuses the compiled program and matches single-device math
+        ts3, m3 = step(ts2, mfcc, mel, stft)
+        assert np.isfinite(float(m3["loss"]))
+
+
+def test_distributed_matches_single_device():
+    """One DP+TP step == one single-device step (same inputs/params)."""
+    enc_cfg, enc_params, enc_state, dec_cfg, opt_cfg, ts, mfcc, mel, stft = _dec_setup(B=8)
+    opt = opt_cfg.make()
+    loss_cfg = DecoderLossConfig()
+
+    def run(t, a, b, c):
+        return decoder_train_step(
+            t, a, b, c, enc_params=enc_params, enc_state=enc_state,
+            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt)
+
+    _, m_single = jax.jit(run)(ts, mfcc, mel, stft)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        ts_d = {**ts, "params": shard_params(ts["params"], mesh),
+                "model_state": shard_state(ts["model_state"], mesh)}
+        bsh = batch_sharding(mesh)
+        args = [jax.device_put(a, bsh) for a in (mfcc, mel, stft)]
+        _, m_dist = jax.jit(run)(ts_d, *args)
+
+    np.testing.assert_allclose(float(m_dist["loss"]), float(m_single["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_dist["mel_loss"]), float(m_single["mel_loss"]), rtol=1e-4)
