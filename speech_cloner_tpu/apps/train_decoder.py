@@ -1,0 +1,143 @@
+"""Decoder training app: frozen encoder + target-speaker dataset -> decoder.
+
+CLI rebuild of `python decoder.py` (decoder.py:497-656), non-interactive.
+
+  python -m speech_cloner_tpu.apps.train_decoder \
+      --ds-path /data/ARCTIC/cmu_arctic --spk-id slt \
+      --enc-ckpt /root/reference/enc_14_ckpt/encoder-136512 \
+      [--ds-kind arctic|target --dec-cfg hp/decoder_cfg_d.json]
+
+--enc-ckpt accepts either a reference TF checkpoint prefix or a directory of
+our own encoder .npz checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..models import decoder as dec_m
+from ..models import encoder as enc_m
+from ..runtime.checkpoint import Checkpointer
+from ..runtime.config import feature_config_from_cfg_d, load_cfg_d
+from ..train import (
+    DecoderLossConfig,
+    OptimizerConfig,
+    decoder_eval_step,
+    decoder_train_step,
+    make_train_state,
+)
+from ..train.loop import LoopConfig, run_training
+from .train_encoder import DEFAULT_DS_CFG
+
+
+def load_encoder_weights(path: str, cfg: enc_m.EncoderConfig):
+    """TF ckpt prefix (file pair) or our Checkpointer directory."""
+    if os.path.exists(path + ".index"):
+        from ..runtime.tf_import import load_tf_encoder
+
+        return load_tf_encoder(path, cfg)
+    ck = Checkpointer(path, "encoder")
+    tree, step = ck.restore()
+    if tree is None:
+        raise FileNotFoundError(f"no encoder checkpoint under {path}")
+    print(f" encoder restored from step {step}")
+    return tree["params"], tree["model_state"]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ds-path", required=True)
+    ap.add_argument("--ds-kind", choices=("arctic", "target"), default="arctic")
+    ap.add_argument("--spk-id", default="slt")
+    ap.add_argument("--enc-ckpt", required=True)
+    ap.add_argument("--enc-cfg", help="reference-format encoder cfg json")
+    ap.add_argument("--dec-cfg", help="reference-format decoder cfg json")
+    ap.add_argument("--ds-cfg", help="reference-format ds cfg json")
+    ap.add_argument("--model-path", default="./dec_ckpt")
+    ap.add_argument("--log-dir", default="./dec_stats_dir")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--n-epochs", type=int, default=99999)
+    ap.add_argument("--save-each-n-epochs", type=int, default=10)
+    ap.add_argument("--prop-val", type=float, default=0.02)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
+    feat_cfg = feature_config_from_cfg_d(ds_cfg_d)
+
+    enc_cfg = (enc_m.config_from_cfg_d(load_cfg_d(args.enc_cfg))
+               if args.enc_cfg else enc_m.EncoderConfig())
+    enc_params, enc_state = load_encoder_weights(args.enc_ckpt, enc_cfg)
+
+    if args.dec_cfg:
+        dec_cfg_d = load_cfg_d(args.dec_cfg)
+        cfg = dec_m.config_from_cfg_d(dec_cfg_d)
+        opt_cfg = OptimizerConfig(
+            learning_rate=dec_cfg_d.get("learning_rate", 1e-3),
+            decay=dec_cfg_d.get("decay", 1e-3))
+        loss_cfg = DecoderLossConfig(
+            mel_loss_weight=dec_cfg_d.get("mel_loss_weight", 400),
+            stft_loss_weight=dec_cfg_d.get("stft_loss_weight", 400),
+            loss_type=dec_cfg_d.get("loss_type", "sum"))
+    else:
+        cfg = dec_m.DecoderConfig(n_timesteps=enc_cfg.n_timesteps,
+                                  input_dim=enc_cfg.n_output)
+        opt_cfg = OptimizerConfig()
+        loss_cfg = DecoderLossConfig()
+
+    if args.ds_kind == "arctic":
+        from ..data.arctic import ARCTIC
+
+        ds = ARCTIC(args.ds_path, feat_cfg, n_timesteps=cfg.n_timesteps, verbose=True)
+        ds_filter_d = {"spk_id": args.spk_id}
+    else:
+        from ..data.target_spk import TargetSpeaker
+
+        ds = TargetSpeaker(args.ds_path, feat_cfg, n_timesteps=cfg.n_timesteps, verbose=True)
+        ds_filter_d = None
+    ds.build_spec_cache()
+
+    n_trn = ds.get_n_windows(args.prop_val, ds_filter_d)[0]
+    steps_per_epoch = max(n_trn // args.batch_size, 1)
+    print(f" n_windows_trn={n_trn}  steps/epoch={steps_per_epoch}")
+
+    params, state = dec_m.init(jax.random.PRNGKey(args.seed), cfg)
+    ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
+    opt = opt_cfg.make()
+
+    step = jax.jit(lambda t, x, m, s: decoder_train_step(
+        t, x, m, s, enc_params=enc_params, enc_state=enc_state, enc_cfg=enc_cfg,
+        cfg=cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt))
+    ev = jax.jit(lambda t, x, m, s: decoder_eval_step(
+        t["params"], t["model_state"], x, m, s, enc_params=enc_params,
+        enc_state=enc_state, enc_cfg=enc_cfg, cfg=cfg, loss_cfg=loss_cfg))
+
+    def batches(sample_trn):
+        def gen():
+            yield from ds.spec_window_sampler(
+                batch_size=args.batch_size, n_epochs=1, sample_trn=sample_trn,
+                prop_val=args.prop_val,
+                **({"ds_filter_d": ds_filter_d} if ds_filter_d is not None else {}))
+        return gen
+
+    run_training(
+        ts,
+        train_batches=batches(True),
+        val_batches=batches(False),
+        train_step=step,
+        eval_step=ev,
+        loop_cfg=LoopConfig(n_epochs=args.n_epochs, steps_per_epoch=steps_per_epoch,
+                            save_each_n_epochs=args.save_each_n_epochs,
+                            max_steps=args.max_steps),
+        ckpt=Checkpointer(args.model_path, "decoder"),
+        log_dir=args.log_dir,
+        config_snapshot={"ds": ds_cfg_d},
+    )
+
+
+if __name__ == "__main__":
+    main()

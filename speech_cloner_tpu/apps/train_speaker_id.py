@@ -1,0 +1,93 @@
+"""Speaker-ID verifier training: TIMIT power spectrograms -> speaker classes.
+
+CLI rebuild of `python voice_identification.py` (voice_identification.py:46-229):
+trains the CNN on power_dB windows with per-speaker 0.8/0.1/0.1 splits and
+tracks the best validation accuracy.
+
+  python -m speech_cloner_tpu.apps.train_speaker_id --ds-path /data/TIMIT
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ..data.timit import TIMIT
+from ..models import speaker_id as spk_m
+from ..runtime.checkpoint import Checkpointer
+from ..runtime.config import feature_config_from_cfg_d, load_cfg_d
+from ..train import OptimizerConfig, make_train_state, speaker_eval_step, speaker_train_step
+from .train_encoder import DEFAULT_DS_CFG
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ds-path", required=True)
+    ap.add_argument("--ds-cfg")
+    ap.add_argument("--model-path", default="./spk_ckpt")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--n-epochs", type=int, default=1000)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
+    feat_cfg = feature_config_from_cfg_d(ds_cfg_d)
+    ds = TIMIT(args.ds_path, feat_cfg, n_timesteps=ds_cfg_d.get("n_timesteps", 400),
+               verbose=True)
+    ds.build_spec_cache("phn_mfcc_cache.h5py")
+
+    n_spk = ds.prepare_speaker_dicts(None)
+    cfg = spk_m.SpeakerIdConfig(n_timesteps=ds.n_timesteps,
+                                n_features=feat_cfg.n_stft, n_output=n_spk)
+    print(f" n_speakers={n_spk}")
+
+    split = {"split_key": "spk_id", "split_props_v": (0.8, 0.9)}
+    filt_trn = {"split_d": {**split, "split_type": "trn"}}
+    filt_val = {"split_d": {**split, "split_type": "val"}}
+
+    params, state = spk_m.init(jax.random.PRNGKey(args.seed), cfg)
+    opt_cfg = OptimizerConfig(learning_rate=1e-4)  # voice_identification.py:32
+    opt = opt_cfg.make()
+    ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
+
+    step = jax.jit(lambda t, x, y: speaker_train_step(t, x, y, cfg=cfg,
+                                                      opt_cfg=opt_cfg, opt=opt))
+    ev = jax.jit(lambda p, s, x, y: speaker_eval_step(p, s, x, y, cfg=cfg))
+
+    def val_stream():
+        while True:
+            yield from ds.speaker_spec_sampler(args.batch_size, n_epochs=1,
+                                               ds_filter_d=filt_val,
+                                               base_name="phn_mfcc_cache.h5py")
+
+    ckpt = Checkpointer(args.model_path, "speaker_id")
+    val_iter = val_stream()
+    best_val, val_hist = 0.0, []
+    i_step = 0
+    for _ in range(args.n_epochs):
+        for mfcc, mel, power, cls in ds.speaker_spec_sampler(
+                args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
+                base_name="phn_mfcc_cache.h5py"):
+            ts, m = step(ts, power, cls)
+            _, _, vp, vc = next(val_iter)
+            vm = ev(ts["params"], ts["model_state"], vp, vc)
+            val_hist.append(float(vm["acc"]))
+            if i_step % 10 == 0:
+                print(f" - step={i_step} trn_loss={float(m['loss']):.3f} "
+                      f"trn_acc={float(m['acc']):.3f} val_acc={val_hist[-1]:.3f}")
+            # best-weights tracking over a 10-step window (voice_identification.py:217-221)
+            if len(val_hist) > 10 and float(np.mean(val_hist[-10:])) > best_val:
+                best_val = float(np.mean(val_hist[-10:]))
+                ckpt.save(ts, step=i_step)
+            i_step += 1
+            if args.max_steps is not None and i_step >= args.max_steps:
+                ckpt.save(ts, step=i_step, sync=True)
+                return
+    ckpt.save(ts, step=i_step, sync=True)
+
+
+if __name__ == "__main__":
+    main()

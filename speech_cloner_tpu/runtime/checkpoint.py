@@ -139,6 +139,22 @@ class Checkpointer:
             flat = {k: z[k] for k in z.files}
         return _unflatten(flat), step
 
+    def restore_into(self, template, step: int | None = None):
+        """Restore into the exact pytree structure of ``template`` (dicts,
+        lists, NamedTuples like optax states) by positional leaf matching.
+        Returns (tree, step) or (template-unchanged, None)."""
+        tree, step = self.restore(step)
+        if tree is None:
+            return template, None
+        ref_leaves, treedef = jax.tree.flatten(template)
+        new_leaves = jax.tree.leaves(tree)
+        if len(ref_leaves) != len(new_leaves):
+            raise ValueError(
+                f"checkpoint has {len(new_leaves)} leaves, template has {len(ref_leaves)}")
+        cast = [np.asarray(n).astype(np.asarray(r).dtype)
+                for r, n in zip(ref_leaves, new_leaves)]
+        return jax.tree.unflatten(treedef, cast), step
+
     # ------------------------------------------------------------- prune ---
 
     def prune(self, n_keep: int = 100, step_min: int = 0) -> int:

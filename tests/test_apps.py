@@ -1,0 +1,130 @@
+"""Integration tests: full training apps on the synthetic fixture datasets,
+including checkpoint auto-resume, and the conversion CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speech_cloner_tpu.runtime.checkpoint import Checkpointer
+from tests.test_data import _make_arctic_tree, _make_timit_tree
+
+
+@pytest.fixture(scope="module")
+def timit_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("timit_app"))
+    _make_timit_tree(root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def arctic_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("arctic_app"))
+    _make_arctic_tree(root)
+    return root
+
+
+def _small_ds_cfg(tmp_path) -> str:
+    cfg = {
+        "sample_rate": 16000, "pre_emphasis": 0.97, "hop_length_ms": 5.0,
+        "win_length_ms": 25.0, "n_timesteps": 40, "n_mels": 20, "n_mfcc": 10,
+        "n_fft": None, "window": "hann", "mfcc_normaleze_first_mfcc": True,
+        "mfcc_norm_factor": 0.01, "calc_mfcc_derivate": True,
+        "M_dB_norm_factor": 0.01, "P_dB_norm_factor": 0.01,
+        "mean_abs_amp_norm": 0.003, "clip_output": True, "ds_norm": [0.0, 10.0],
+    }
+    p = str(tmp_path / "ds_cfg.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    return p
+
+
+def _small_enc_cfg(tmp_path) -> str:
+    cfg = {
+        "model_name": "encoder", "input_shape": [40, 20], "n_output": 61,
+        "embed_size": None, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+        "dropout_rate": 0.4, "is_training": True, "use_Cudnn": False,
+        "use_lstm": False, "learning_rate": 1e-3, "decay": 1e-3,
+        "beta1": 0.9, "beta2": 0.999, "epsilon": 1e-8,
+    }
+    p = str(tmp_path / "enc_cfg.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    return p
+
+
+def test_train_encoder_app_runs_and_resumes(timit_root, tmp_path):
+    from speech_cloner_tpu.apps.train_encoder import main
+
+    model_path = str(tmp_path / "enc_ckpt")
+    args = [
+        "--ds-path", timit_root, "--model-path", model_path,
+        "--log-dir", str(tmp_path / "logs"),
+        "--ds-cfg", _small_ds_cfg(tmp_path),
+        "--enc-cfg", _small_enc_cfg(tmp_path),
+        "--batch-size", "4", "--max-steps", "6", "--save-each-n-epochs", "1",
+    ]
+    main(args)
+    ck = Checkpointer(model_path, "encoder")
+    steps = ck.steps()
+    assert steps and steps[-1] == 6
+    # metrics were logged
+    log = str(tmp_path / "logs" / "trn.jsonl")
+    assert os.path.exists(log)
+    rec = json.loads(open(log).readline())
+    assert "loss" in rec and "acc" in rec
+
+    # resume: run 6 more steps; checkpoint advances past 6
+    main(args[:-3] + ["12", "--save-each-n-epochs", "1"])
+    assert Checkpointer(model_path, "encoder").latest_step() == 12
+
+
+def test_train_decoder_app_with_our_encoder(timit_root, arctic_root, tmp_path):
+    from speech_cloner_tpu.apps.train_decoder import main as dec_main
+    from speech_cloner_tpu.apps.train_encoder import main as enc_main
+
+    enc_path = str(tmp_path / "enc_ckpt")
+    ds_cfg = _small_ds_cfg(tmp_path)
+    enc_cfg = _small_enc_cfg(tmp_path)
+    enc_main(["--ds-path", timit_root, "--model-path", enc_path,
+              "--log-dir", str(tmp_path / "el"), "--ds-cfg", ds_cfg,
+              "--enc-cfg", enc_cfg, "--batch-size", "4", "--max-steps", "2"])
+
+    dec_cfg = {
+        "model_name": "decoder", "input_shape": [40, 61],
+        "steps_v": [
+            {"embed_size": 32, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 20},
+            {"embed_size": 48, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 201},
+        ],
+        "dropout_rate": 0.1, "use_lstm": False, "learning_rate": 1e-3,
+        "decay": 1e-3, "mel_loss_weight": 400, "stft_loss_weight": 400,
+        "loss_type": "sum", "use_target_mel_step2": True,
+        "target_mel_step2_val": 500,
+    }
+    dec_cfg_p = str(tmp_path / "dec_cfg.json")
+    with open(dec_cfg_p, "w") as f:
+        json.dump(dec_cfg, f)
+
+    dec_path = str(tmp_path / "dec_ckpt")
+    dec_main(["--ds-path", arctic_root, "--spk-id", "slt",
+              "--enc-ckpt", enc_path, "--enc-cfg", enc_cfg,
+              "--dec-cfg", dec_cfg_p, "--ds-cfg", ds_cfg,
+              "--model-path", dec_path, "--log-dir", str(tmp_path / "dl"),
+              "--batch-size", "2", "--max-steps", "3", "--prop-val", "0.34"])
+    assert Checkpointer(dec_path, "decoder").latest_step() == 3
+
+
+def test_clean_ckpt_app(tmp_path):
+    from speech_cloner_tpu.apps.clean_ckpt import main
+
+    ck = Checkpointer(str(tmp_path), "decoder")
+    for s in range(0, 100, 10):
+        ck.save({"x": np.zeros(3)}, step=s, sync=True)
+    main(["--dir", str(tmp_path), "--name", "decoder", "--n-keep", "3",
+          "--step-min", "20"])
+    left = ck.steps()
+    assert 0 not in left and 10 not in left
+    assert 90 in left and len(left) <= 5
