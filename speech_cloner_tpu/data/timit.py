@@ -136,6 +136,47 @@ class TIMIT(SoundDataset):
                     out.append((int(parts[0]), int(parts[1]), " ".join(parts[2:])))
         return out
 
+    # ----------------------------------------------------------- samplers ---
+
+    def frame_sampler(self, batch_size=32, n_epochs=1, randomize_samples=True,
+                      ds_filter_d={"ds_type": "TRAIN"}, base_name="spec_cache.h5py"):
+        """Per-FRAME (mfcc_row, phn_onehot_row) batches (TIMIT_reader.py:402-430)."""
+        import h5py
+
+        samples = np.flatnonzero(self.get_ds_filter(ds_filter_d))
+        with h5py.File(self.spec_cache_path(base_name), "r") as h5:
+            x_v, y_v = [], []
+            for _ in range(n_epochs):
+                order = self.rng.permutation(samples) if randomize_samples else samples
+                for i in order:
+                    key = str(int(i))
+                    mfcc = h5["mfcc"][key][:]
+                    phn = h5["phn"][key][:]
+                    for t in range(mfcc.shape[0]):
+                        x_v.append(mfcc[t])
+                        y_v.append(phn[t])
+                        if len(x_v) == batch_size:
+                            yield np.stack(x_v), np.stack(y_v)
+                            x_v, y_v = [], []
+
+    def phoneme_sampler(self, batch_size=32, n_epochs=1, n_padd=3000,
+                        ds_filter_d=None, randomize=True):
+        """Raw waveform snippets of single phones, left-zero-padded to n_padd,
+        with their phone label (TIMIT_reader.py:363-398)."""
+        samples = np.flatnonzero(self.get_ds_filter(ds_filter_d))
+        for _ in range(n_epochs):
+            order = self.rng.permutation(samples) if randomize else samples
+            x_v, y_v = [], []
+            for i in order:
+                phn_v = self.ds["phn_v"][i]
+                a, b, trg = phn_v[int(self.rng.integers(0, len(phn_v)))]
+                snippet = self.ds["wav"][i][max(a, b - n_padd) : b]
+                x_v.append(np.concatenate([np.zeros(n_padd - len(snippet)), snippet]))
+                y_v.append(trg)
+                if len(x_v) == batch_size:
+                    yield np.stack(x_v), np.asarray(y_v)
+                    x_v, y_v = [], []
+
     # ---------------------------------------------------------- speakers ---
 
     def prepare_speaker_dicts(self, ds_filter_d=None) -> int:

@@ -221,7 +221,9 @@ def _gru_dir_apply(params, x):
         h2 = u * h + (1.0 - u) * c
         return h2, h2
 
-    h0 = jnp.zeros((B, H), dtype=x.dtype)
+    # derive h0 from x so its type (incl. shard_map varying-axes) matches the
+    # carry produced inside the scan
+    h0 = jnp.zeros((B, H), dtype=x.dtype) + 0.0 * x[:, 0, :1]
     _, ys = jax.lax.scan(step, h0, (gx.transpose(1, 0, 2), cx.transpose(1, 0, 2)))
     return ys.transpose(1, 0, 2)
 
@@ -270,8 +272,8 @@ def _lstm_dir_apply(params, x):
         h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
         return (c2, h2), h2
 
-    init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
-    _, ys = jax.lax.scan(step, init, xb.transpose(1, 0, 2))
+    z0 = jnp.zeros((B, H), x.dtype) + 0.0 * x[:, 0, :1]
+    _, ys = jax.lax.scan(step, (z0, z0), xb.transpose(1, 0, 2))
     return ys.transpose(1, 0, 2)
 
 

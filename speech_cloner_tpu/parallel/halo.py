@@ -1,0 +1,142 @@
+"""Sequence-parallel (SP) long-form inference: time axis sharded over a
+'seq' mesh axis with halo exchange.
+
+The reference handles long audio by chopping it into independent 400-frame
+windows and stitching predictions (test.py:46-145) — every window boundary
+is a potential artifact. Here the time axis is sharded across devices via
+shard_map and:
+
+- convolutions exchange (width-1) halo frames with mesh neighbors through
+  lax.ppermute, making every conv output exactly equal to the unsharded
+  conv (no boundary effects at shard seams),
+- the bidirectional GRU warms up through an overlap region of W extra
+  frames received from the neighbor before emitting its local chunk. A GRU
+  forgets exponentially, so with W on the order of the reference's own
+  400-frame window the interior states are numerically converged — this is
+  strictly stronger than the reference's hard-boundary windows (which had
+  warmup 0 at every seam), while staying fully parallel across devices.
+
+All collectives ride the ICI ('seq' axis neighbors).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..nn import modules as M
+
+
+def _shift_from_left(x, axis_name):
+    """Receive the last ``h`` frames of the LEFT neighbor (zeros at edge).
+    x: [B, h, C] slice each device sends rightward."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _shift_from_right(x, axis_name):
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i + 1, i) for i in range(n - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def halo_pad(x, left: int, right: int, axis_name: str):
+    """[B, T_loc, C] -> [B, left + T_loc + right, C] with true neighbor data
+    (zeros at the global edges, matching 'SAME' conv zero padding)."""
+    parts = [x]
+    if left > 0:
+        from_left = _shift_from_left(x[:, -left:, :], axis_name)
+        parts.insert(0, from_left)
+    if right > 0:
+        from_right = _shift_from_right(x[:, :right, :], axis_name)
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=1)
+
+
+def conv1d_halo(params, x, axis_name: str):
+    """TF-'SAME' conv over the sharded time axis, exact at shard seams."""
+    k = params["kernel"].shape[0]
+    left, right = (k - 1) // 2, k // 2
+    xp = halo_pad(x, left, right, axis_name)
+    return jax.lax.conv_general_dilated(
+        xp, params["kernel"], window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def maxpool1d_same_halo(x, axis_name: str):
+    """pool 2/stride 1/'same' with a 1-frame right halo."""
+    xp = halo_pad(x, 0, 1, axis_name)
+    # global right edge must see -inf (pool ignores), not the zero pad
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    last = jnp.where(idx == n - 1, -jnp.inf, 0.0)
+    xp = xp.at[:, -1, :].add(last)
+    return jnp.maximum(xp[:, :-1, :], xp[:, 1:, :])
+
+
+def bigru_warmup(params, x, warmup: int, axis_name: str):
+    """Bidirectional GRU over the sharded time axis with neighbor warmup.
+
+    Each device scans [warmup-from-left + local] forward and
+    [local + warmup-from-right] backward, keeping only the local outputs.
+    """
+    xw = halo_pad(x, warmup, warmup, axis_name)
+    T_loc = x.shape[1]
+    fw_in = xw[:, : warmup + T_loc, :]
+    bw_in = xw[:, warmup:, :]
+    fw = M._gru_dir_apply(params["fw"], fw_in)[:, warmup:, :]
+    bw = M._gru_dir_apply(params["bw"], bw_in[:, ::-1, :])[:, ::-1, :][:, :T_loc, :]
+    return jnp.concatenate([fw, bw], axis=2)
+
+
+def cbhg_seq_parallel(params, state, x, *, cfg, warmup: int, axis_name: str):
+    """Inference-mode CBHG with the time axis sharded over ``axis_name``."""
+    h, _ = _banks_halo(params["banks"], state["banks"], x, cfg, axis_name)
+    h = maxpool1d_same_halo(h, axis_name)
+    h = conv1d_halo(params["conv1d_1"], h, axis_name)
+    h, _ = M.bn_apply(params["bn1"], state["bn1"], h, train=False)
+    h = jax.nn.relu(h)
+    h = conv1d_halo(params["conv1d_2"], h, axis_name)
+    h, _ = M.bn_apply(params["bn2"], state["bn2"], h, train=False)
+    h = h + x
+    for hw in params["highway"]:
+        h = M.highway_apply(hw, h)
+    return bigru_warmup(params["gru"], h, warmup, axis_name)
+
+
+def _banks_halo(params, state, x, cfg, axis_name):
+    K = len(params["kernels"])
+    big = M.pack_bank_kernels(params["kernels"], K)
+    out = conv1d_halo({"kernel": big}, x, axis_name)
+    out, bn_state = M.bn_apply(params["bn"], state["bn"], out, train=False)
+    return jax.nn.relu(out), {"bn": bn_state}
+
+
+def encoder_seq_parallel(enc_params, enc_state, cfg, mesh: Mesh, *,
+                         warmup: int = 400, axis_name: str = "seq"):
+    """Build a pjit-able sequence-parallel encoder forward.
+
+    Returns fn(mfcc [B, T, E]) -> logits [B, T, n_out] with T sharded over
+    ``axis_name``; T must divide by the axis size.
+    """
+    from jax import shard_map
+
+    def local_fn(params, state, x):
+        if True:  # inference only
+            h = M.prenet_apply(params["prenet"], x, dropout_rate=0.0,
+                               train=False, rng=None)
+        h = cbhg_seq_parallel(params["CBHG"], state["CBHG"], h, cfg=cfg.cbhg,
+                              warmup=warmup, axis_name=axis_name)
+        return M.dense(params["y_logits"], h)
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis_name, None)),
+        out_specs=P(None, axis_name, None),
+    )
+    return jax.jit(lambda x: sharded(enc_params, enc_state, x))

@@ -1,0 +1,67 @@
+"""Streaming evaluators (reference: encoder.eval_acc encoder.py:374-388,
+decoder.eval_loss decoder.py:474-493, batched predict encoder.py:359-367)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import decoder as dec_m
+from ..models import encoder as enc_m
+from .steps import DecoderLossConfig
+
+
+def encoder_predict(params, state, x, *, cfg, batch_size: int = 32):
+    """Batched PPG prediction over [N, T, E] host windows -> [N, T, n_out]."""
+    fn = jax.jit(lambda xx: enc_m.posteriors(
+        enc_m.apply(params, state, xx, cfg=cfg, train=False)[0]))
+    outs = []
+    for i in range(0, x.shape[0], batch_size):
+        outs.append(np.asarray(fn(jnp.asarray(x[i : i + batch_size]))))
+    return np.concatenate(outs, axis=0)
+
+
+def eval_acc(params, state, sampler, *, cfg, verbose: bool = False):
+    """Streaming frame accuracy over a (mfcc, phn_onehot) batch iterator."""
+    fn = jax.jit(lambda xx: jnp.argmax(
+        enc_m.apply(params, state, xx, cfg=cfg, train=False)[0], axis=-1))
+    n_c = n_t = 0
+    for mfcc, phn, *_ in sampler:
+        pred = np.asarray(fn(jnp.asarray(mfcc)))
+        true = np.argmax(phn, axis=-1)
+        n_c += int((pred == true).sum())
+        n_t += pred.size
+        if verbose:
+            print(f"acc[{n_t}] = {n_c / n_t:5.03f}")
+    return (n_c / n_t if n_t else 0.0), n_t
+
+
+def eval_loss(dec_params, dec_state, sampler, *, enc_params, enc_state,
+              enc_cfg, dec_cfg, loss_cfg: DecoderLossConfig = DecoderLossConfig(),
+              verbose: bool = False):
+    """Streaming decoder losses over (mfcc, mel, stft) batches; returns
+    (mean loss, mean mel_loss, mean stft_loss)."""
+
+    @jax.jit
+    def fn(mfcc, mel, stft):
+        logits, _ = enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg, train=False)
+        ppg = enc_m.posteriors(logits)
+        y_mel, y_stft, _ = dec_m.apply(dec_params, dec_state, ppg, cfg=dec_cfg, train=False)
+        mel_l = loss_cfg.mel_loss_weight * jnp.mean(jnp.square(y_mel - mel))
+        stft_l = loss_cfg.stft_loss_weight * jnp.mean(jnp.square(y_stft - stft))
+        if loss_cfg.loss_type == "log":
+            loss = jnp.log(mel_l) + jnp.log(stft_l)
+        else:
+            loss = mel_l + stft_l
+        return loss, mel_l, stft_l
+
+    acc = []
+    for mfcc, mel, stft, *_ in sampler:
+        out = fn(jnp.asarray(mfcc), jnp.asarray(mel), jnp.asarray(stft))
+        acc.append([float(v) for v in out])
+        if verbose:
+            m = np.mean(acc, axis=0)
+            print(f" - loss={m[0]:.3f} mel={m[1]:.3f} stft={m[2]:.3f}")
+    m = np.mean(acc, axis=0) if acc else np.zeros(3)
+    return float(m[0]), float(m[1]), float(m[2])
