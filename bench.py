@@ -28,6 +28,16 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compilation cache: later bench runs (and driver re-runs)
+    # skip the multi-minute XLA compile when the program is unchanged
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache unsupported on this backend -> proceed
+        log(f"compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
 
     from speech_cloner_tpu.models import decoder as dec_m
@@ -66,11 +76,17 @@ def main():
     wav_p = jnp.asarray(np.pad(wav, (0, pad)))
     key = jax.random.PRNGKey(0)
 
-    fn = jax.jit(lambda w, k: pipe.device_convert(w, k))
+    predict_fn = jax.jit(pipe.device_predict)
+    vocode_fn = jax.jit(pipe.device_vocode)
+
+    def run(w):
+        mel_pred, stft_pred, ppg = predict_fn(w)
+        wav_pred = vocode_fn(stft_pred, key)
+        return wav_pred, mel_pred
 
     log("compiling...")
     t0 = time.perf_counter()
-    out = fn(wav_p, key)
+    out = run(wav_p)
     jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
 
@@ -78,7 +94,7 @@ def main():
     times = []
     for i in range(n_runs):
         t0 = time.perf_counter()
-        out = fn(wav_p, key)
+        out = run(wav_p)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     best = min(times)

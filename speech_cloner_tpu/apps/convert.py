@@ -57,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--t-e", type=float, default=60.0, help="end second")
     ap.add_argument("--n-iter", type=int, default=200)
     ap.add_argument("--realse", type=float, default=1.2)
+    ap.add_argument("--gl-momentum", type=float, default=0.0,
+                    help="Fast Griffin-Lim momentum (0 = reference algorithm)")
     ap.add_argument("--save-true", action="store_true")
     args = ap.parse_args(argv)
 
@@ -81,7 +83,8 @@ def main(argv=None):
     pipe = ClonePipeline(enc_cfg=enc_cfg, dec_cfg=dec_cfg, feat_cfg=feat_cfg,
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
-                         n_iter=args.n_iter, realse=args.realse)
+                         n_iter=args.n_iter, realse=args.realse,
+                         gl_momentum=args.gl_momentum)
 
     print(f" loading {args.input}")
     wav = load_audio(args.input, feat_cfg.sample_rate)

@@ -31,6 +31,7 @@ def griffin_lim(
     window: str = "hann",
     key=None,
     init_phase=None,
+    momentum: float = 0.0,
 ):
     """Phase reconstruction from a time-major magnitude spectrogram [T, F].
 
@@ -38,6 +39,12 @@ def griffin_lim(
     then num_iters rounds of istft -> stft -> keep-phase/replace-magnitude,
     where the final round is istft only. ``init_phase`` overrides the random
     init for deterministic/parity runs.
+
+    ``momentum`` > 0 enables Fast Griffin-Lim (Perraudin et al.; see also
+    Deep Griffin-Lim Iteration, arXiv:1903.03971): the projected spectrogram
+    is extrapolated by momentum*(P_t - P_{t-1}) before the phase is reused —
+    markedly better convergence at the same iteration count. 0.0 reproduces
+    the reference exactly; ~0.99 is a good setting.
     """
     if n_fft is None:
         n_fft = win_length
@@ -51,15 +58,28 @@ def griffin_lim(
         phase0 = jnp.pi * jax.random.uniform(key, stft_amp.shape, dtype=jnp.float32)
     S0 = stft_amp * jnp.exp(1j * phase0)
 
-    def body(_, S):
+    def project(S):
         wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
                     window=window, xp=jnp)
-        S2 = stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
-                  window=window, xp=jnp)
-        phase = jnp.angle(S2)
-        return stft_amp * jnp.exp(1j * phase)
+        return stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+                    window=window, xp=jnp)
 
-    S = jax.lax.fori_loop(0, max(num_iters - 1, 0), body, S0)
+    if momentum == 0.0:
+        def body(_, S):
+            phase = jnp.angle(project(S))
+            return stft_amp * jnp.exp(1j * phase)
+
+        S = jax.lax.fori_loop(0, max(num_iters - 1, 0), body, S0)
+    else:
+        def body(_, carry):
+            S, P_prev = carry
+            P = project(S)
+            extrap = P + momentum * (P - P_prev)
+            S_next = stft_amp * jnp.exp(1j * jnp.angle(extrap))
+            return S_next, P
+
+        S, _ = jax.lax.fori_loop(0, max(num_iters - 1, 0), body,
+                                 (S0, jnp.zeros_like(S0)))
     return istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
                  window=window, xp=jnp)
 
@@ -75,6 +95,7 @@ def from_power_to_wav(
     n_fft: int | None = None,
     realse: float = 1.0,
     key=None,
+    momentum: float = 0.0,
 ):
     """Normalized power_dB map [T, n_stft] -> waveform, entirely on device."""
     P = jnp.maximum(0.0, P)
@@ -85,7 +106,8 @@ def from_power_to_wav(
         P = (p_mean / jnp.mean(P)) * P
 
     F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
-    y = griffin_lim(F, win_length, hop_length, num_iters=n_iter, n_fft=n_fft, key=key)
+    y = griffin_lim(F, win_length, hop_length, num_iters=n_iter, n_fft=n_fft,
+                    key=key, momentum=momentum)
 
     if pre_emphasis != 0.0:
         y = inv_preemphasis(y, pre_emphasis)

@@ -43,6 +43,7 @@ class ClonePipeline:
     dec_state: dict
     n_iter: int = 200
     realse: float = 1.0
+    gl_momentum: float = 0.0          # Fast Griffin-Lim (opt-in; 0 = reference)
     mean_abs_amp_norm: float = 0.045  # 15 * 0.003 (test.py:153,165)
 
     # ------------------------------------------------------------ device ---
@@ -56,12 +57,9 @@ class ClonePipeline:
                                        cfg=self.dec_cfg, train=False)
         return y_mel, y_stft, ppg
 
-    def device_convert(self, wav, key):
-        """Padded wav [L] -> (pred wav [~L], mel_pred, stft_pred, ppg).
-
-        L must satisfy: n_frames = L//hop + 1 and the windowing below; use
-        `convert` for arbitrary host arrays.
-        """
+    def device_predict(self, wav):
+        """Padded wav [L] -> (mel_pred, stft_pred, ppg): features + encoder +
+        decoder + two-pass stitch, one device program."""
         T = self.enc_cfg.n_timesteps
         mfcc, _, _ = mfcc_input(wav, self.feat_cfg, xp=jnp)
         n_frames = mfcc.shape[0]
@@ -76,14 +74,17 @@ class ClonePipeline:
             mel_b, stft_b, ppg_b = self.forward_windows(both)
             mel_pred = compound(mel_b[:K], mel_b[K:])
             stft_pred = compound(stft_b[:K], stft_b[K:])
-            ppg = jnp.concatenate([ppg_b[:K].reshape(K * T, -1)], axis=0)
+            ppg = compound(ppg_b[:K], ppg_b[K:])  # test.py:132 stitches phn too
         else:
             mel_w, stft_w, ppg_w = self.forward_windows(y0)
             mel_pred = stitch_single(mel_w)
             stft_pred = stitch_single(stft_w)
             ppg = ppg_w.reshape(K * T, -1)
+        return mel_pred, stft_pred, ppg
 
-        wav_pred = from_power_to_wav(
+    def device_vocode(self, stft_pred, key):
+        """Predicted linear power_dB [T, n_stft] -> waveform (Griffin-Lim)."""
+        return from_power_to_wav(
             stft_pred,
             P_dB_norm_factor=self.feat_cfg.P_dB_norm_factor,
             pre_emphasis=self.feat_cfg.pre_emphasis,
@@ -94,7 +95,15 @@ class ClonePipeline:
             n_fft=self.feat_cfg.n_fft_,
             realse=self.realse,
             key=key,
+            momentum=self.gl_momentum,
         )
+
+    def device_convert(self, wav, key):
+        """Full path in one trace (used by tests; `convert` compiles the two
+        stages separately — XLA compile time scales superlinearly with
+        program size, and the split halves it with no host round-trip)."""
+        mel_pred, stft_pred, ppg = self.device_predict(wav)
+        wav_pred = self.device_vocode(stft_pred, key)
         return wav_pred, mel_pred, stft_pred, ppg
 
     # -------------------------------------------------------------- host ---
@@ -115,9 +124,9 @@ class ClonePipeline:
             pad = samples_per_window - L
         wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
 
-        fn = _jitted_device_convert(self, wav_p.shape[0])
-        out = fn(jnp.asarray(wav_p), jax.random.PRNGKey(seed))
-        wav_pred, mel_pred, stft_pred, ppg = out
+        predict_fn, vocode_fn = _jitted_stages(self, wav_p.shape[0])
+        mel_pred, stft_pred, ppg = predict_fn(jnp.asarray(wav_p))
+        wav_pred = vocode_fn(stft_pred, jax.random.PRNGKey(seed))
         return (np.asarray(wav_pred), np.asarray(mel_pred),
                 np.asarray(stft_pred), np.asarray(ppg))
 
@@ -125,14 +134,15 @@ class ClonePipeline:
 _JIT_CACHE: dict[tuple, object] = {}
 
 
-def _jitted_device_convert(p: ClonePipeline, length: int):
-    """One compiled program per (config, length) bucket."""
-    cache_key = (id(p.enc_params), id(p.dec_params), p.n_iter, p.realse, length)
-    fn = _JIT_CACHE.get(cache_key)
-    if fn is None:
-        fn = jax.jit(lambda w, k: p.device_convert(w, k))
-        _JIT_CACHE[cache_key] = fn
-    return fn
+def _jitted_stages(p: ClonePipeline, length: int):
+    """Two compiled programs (predict, vocode) per (config, length) bucket."""
+    cache_key = (id(p.enc_params), id(p.dec_params), p.n_iter, p.realse,
+                 p.gl_momentum, length)
+    fns = _JIT_CACHE.get(cache_key)
+    if fns is None:
+        fns = (jax.jit(p.device_predict), jax.jit(p.device_vocode))
+        _JIT_CACHE[cache_key] = fns
+    return fns
 
 
 def make_pipeline(

@@ -22,6 +22,29 @@ def encoder_predict(params, state, x, *, cfg, batch_size: int = 32):
     return np.concatenate(outs, axis=0)
 
 
+def decoder_predict(dec_params, dec_state, x, *, enc_params, enc_state,
+                    enc_cfg, dec_cfg, batch_size: int = 32):
+    """Batched decoder prediction over [N, T, E] MFCC windows; returns
+    (y_mel, y_stft, y_phn) like the reference's decoder.predict namedtuple
+    (decoder.py:447-465; y_phn is the PPG fed to step1)."""
+
+    @jax.jit
+    def fn(xx):
+        logits, _ = enc_m.apply(enc_params, enc_state, xx, cfg=enc_cfg, train=False)
+        ppg = enc_m.posteriors(logits)
+        y_mel, y_stft, _ = dec_m.apply(dec_params, dec_state, ppg, cfg=dec_cfg,
+                                       train=False)
+        return y_mel, y_stft, ppg
+
+    mels, stfts, phns = [], [], []
+    for i in range(0, x.shape[0], batch_size):
+        m, s, p = fn(jnp.asarray(x[i : i + batch_size]))
+        mels.append(np.asarray(m))
+        stfts.append(np.asarray(s))
+        phns.append(np.asarray(p))
+    return (np.concatenate(mels), np.concatenate(stfts), np.concatenate(phns))
+
+
 def eval_acc(params, state, sampler, *, cfg, verbose: bool = False):
     """Streaming frame accuracy over a (mfcc, phn_onehot) batch iterator."""
     fn = jax.jit(lambda xx: jnp.argmax(

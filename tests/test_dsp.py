@@ -273,6 +273,25 @@ def test_griffin_lim_converges():
     assert e40 < 0.3
 
 
+def test_fast_griffin_lim_converges_better():
+    """momentum>0 (Fast GL) must beat the plain reference loop at equal
+    iteration count on spectral distance."""
+    sr = 16000
+    t = np.arange(4000) / sr
+    y = (np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1230 * t)).astype(np.float32)
+    S_amp = np.abs(ops.stft(y, n_fft=400, hop_length=80, xp=np)).astype(np.float32)
+
+    def rel_err(momentum):
+        wav = np.asarray(ops.griffin_lim(jnp.asarray(S_amp), win_length=400,
+                                         hop_length=80, num_iters=30,
+                                         momentum=momentum))
+        S_rec = np.abs(ops.stft(wav, n_fft=400, hop_length=80, xp=np))
+        return np.linalg.norm(S_rec - S_amp) / np.linalg.norm(S_amp)
+
+    plain, fast = rel_err(0.0), rel_err(0.99)
+    assert fast < plain, (plain, fast)
+
+
 def test_from_power_to_wav_runs_and_norms():
     y = _chirp(4000)
     cfg = FeatureConfig()
