@@ -28,17 +28,11 @@ def log(*a):
 
 def main():
     import jax
-
-    # persistent compilation cache: later bench runs (and driver re-runs)
-    # skip the multi-minute XLA compile when the program is unchanged
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # cache unsupported on this backend -> proceed
-        log(f"compilation cache unavailable: {e}")
-
     import jax.numpy as jnp
+
+    # NOTE: the persistent compilation cache was tried and is actively
+    # harmful through the axon remote-compile tunnel (cache writes added
+    # ~170s and reads never hit); compile is paid once per process instead.
 
     from speech_cloner_tpu.models import decoder as dec_m
     from speech_cloner_tpu.models import encoder as enc_m

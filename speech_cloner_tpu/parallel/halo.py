@@ -117,6 +117,14 @@ def _banks_halo(params, state, x, cfg, axis_name):
     return jax.nn.relu(out), {"bn": bn_state}
 
 
+def _stack_local(params, state, x, cbhg_cfg, warmup: int, axis_name: str):
+    """prenet + CBHG + output dense, time axis sharded (inference mode)."""
+    h = M.prenet_apply(params["prenet"], x, dropout_rate=0.0, train=False, rng=None)
+    h = cbhg_seq_parallel(params["CBHG"], state["CBHG"], h, cfg=cbhg_cfg,
+                          warmup=warmup, axis_name=axis_name)
+    return M.dense(params["y_logits"], h)
+
+
 def encoder_seq_parallel(enc_params, enc_state, cfg, mesh: Mesh, *,
                          warmup: int = 400, axis_name: str = "seq"):
     """Build a pjit-able sequence-parallel encoder forward.
@@ -127,12 +135,7 @@ def encoder_seq_parallel(enc_params, enc_state, cfg, mesh: Mesh, *,
     from jax import shard_map
 
     def local_fn(params, state, x):
-        if True:  # inference only
-            h = M.prenet_apply(params["prenet"], x, dropout_rate=0.0,
-                               train=False, rng=None)
-        h = cbhg_seq_parallel(params["CBHG"], state["CBHG"], h, cfg=cfg.cbhg,
-                              warmup=warmup, axis_name=axis_name)
-        return M.dense(params["y_logits"], h)
+        return _stack_local(params, state, x, cfg.cbhg, warmup, axis_name)
 
     sharded = shard_map(
         local_fn, mesh=mesh,
@@ -140,3 +143,32 @@ def encoder_seq_parallel(enc_params, enc_state, cfg, mesh: Mesh, *,
         out_specs=P(None, axis_name, None),
     )
     return jax.jit(lambda x: sharded(enc_params, enc_state, x))
+
+
+def clone_forward_seq_parallel(enc_params, enc_state, enc_cfg,
+                               dec_params, dec_state, dec_cfg, mesh: Mesh, *,
+                               warmup: int = 400, axis_name: str = "seq"):
+    """Sequence-parallel full clone forward: MFCC [B, T, E] -> (y_mel,
+    y_stft, ppg) with the time axis sharded across the mesh.
+
+    This is the SURVEY.md §5 long-context answer (a): one device-resident
+    pass over the full recording — no 400-frame windows, no stitching — with
+    exact conv halos and warmup-converged GRU states at shard seams.
+    """
+    from jax import shard_map
+
+    def local_fn(ep, es, dp, ds_, x):
+        logits = _stack_local(ep, es, x, enc_cfg.cbhg, warmup, axis_name)
+        ppg = jax.nn.softmax(logits, axis=-1)
+        y_mel = _stack_local(dp["step1"], ds_["step1"], ppg,
+                             dec_cfg.step1.cbhg, warmup, axis_name)
+        y_stft = _stack_local(dp["step2"], ds_["step2"], y_mel,
+                              dec_cfg.step2.cbhg, warmup, axis_name)
+        return y_mel, y_stft, ppg
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, axis_name, None)),
+        out_specs=(P(None, axis_name, None),) * 3,
+    )
+    return jax.jit(lambda x: sharded(enc_params, enc_state, dec_params, dec_state, x))

@@ -60,6 +60,31 @@ def test_bigru_warmup_interior_converged(mesh):
     assert err24 < 0.05, (err16, err24)
 
 
+def test_clone_forward_seq_parallel_matches_full(mesh):
+    from speech_cloner_tpu.models import decoder as dec_m
+
+    enc_cfg = enc_m.EncoderConfig(n_timesteps=128, input_dim=16, n_output=61,
+                                  num_conv_banks=2, num_highwaynet_blocks=1)
+    dec_cfg = dec_m.DecoderConfig(
+        n_timesteps=128, input_dim=61,
+        step1=dec_m.DecoderStepConfig(32, 2, 1, 20),
+        step2=dec_m.DecoderStepConfig(48, 2, 1, 51))
+    ep, es = enc_m.init(jax.random.PRNGKey(2), enc_cfg)
+    dp, ds_ = dec_m.init(jax.random.PRNGKey(3), dec_cfg)
+    x = jnp.asarray(RNG.standard_normal((1, 128, 16)), jnp.float32)
+
+    logits, _ = enc_m.apply(ep, es, x, cfg=enc_cfg, train=False)
+    ppg_ref = jax.nn.softmax(logits, -1)
+    mel_ref, stft_ref, _ = dec_m.apply(dp, ds_, ppg_ref, cfg=dec_cfg, train=False)
+
+    fn = H.clone_forward_seq_parallel(ep, es, enc_cfg, dp, ds_, dec_cfg, mesh,
+                                      warmup=32)
+    mel, stft, ppg = fn(x)
+    assert float(jnp.max(jnp.abs(ppg - ppg_ref))) < 0.05
+    assert float(jnp.max(jnp.abs(mel - mel_ref))) < 0.1
+    assert float(jnp.median(jnp.abs(stft - stft_ref))) < 1e-3
+
+
 def test_encoder_seq_parallel_matches_full(mesh):
     cfg = enc_m.EncoderConfig(n_timesteps=128, input_dim=16, n_output=61,
                               num_conv_banks=3, num_highwaynet_blocks=1)
