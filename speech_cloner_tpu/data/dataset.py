@@ -189,6 +189,44 @@ class SoundDataset:
         os.replace(tmp, path)
         return path
 
+    def build_packed_cache(self, base_name: str = "spec_cache.h5py") -> str:
+        """Build (if needed) the .sclpack mirror of the h5py cache for the
+        native loader (native/scl_data.cc); returns its path."""
+        from .packed_cache import pack_from_h5
+
+        h5_path = self.build_spec_cache(base_name)
+        pack_path = h5_path.rsplit(".", 1)[0] + ".sclpack"
+        if not os.path.exists(pack_path):
+            streams = ("mfcc", "mel_dB", "power_dB", "phn") if self.has_phones \
+                else ("mfcc", "mel_dB", "power_dB")
+            pack_from_h5(h5_path, pack_path, streams=streams)
+        return pack_path
+
+    def packed_spec_window_sampler(self, batch_size: int = 32, n_epochs: int = 1,
+                                   randomize_samples: bool = True,
+                                   sample_trn: bool = True, prop_val: float = 0.3,
+                                   ds_filter_d=None, n_threads: int = 4,
+                                   base_name: str = "spec_cache.h5py"):
+        """spec_window_sampler on the native loader: same filter/split
+        semantics, batch assembly by the C++ thread pool."""
+        from .packed_cache import PackedReader
+
+        reader = PackedReader(self.build_packed_cache(base_name), n_threads=n_threads)
+        f = self.get_ds_filter(ds_filter_d)
+        samples = self._val_split(np.flatnonzero(f), prop_val, sample_trn)
+        T = self.n_timesteps
+        try:
+            for _ in range(n_epochs):
+                order = self.rng.permutation(samples) if randomize_samples else samples
+                for i0 in range(0, len(order) - batch_size + 1, batch_size):
+                    utts = order[i0 : i0 + batch_size].astype(np.int32)
+                    lens = reader.n_frames[utts]
+                    starts = np.asarray(
+                        [self.rng.integers(0, max(l - T, 1)) for l in lens], np.int32)
+                    yield tuple(reader.gather(utts, starts, T, s) for s in range(3))
+        finally:
+            reader.close()
+
     def get_spec(self, i_sample: int, base_name: str = "spec_cache.h5py"):
         """Random-access one utterance's cached features (sound_ds.py:225-247)."""
         import h5py

@@ -248,3 +248,20 @@ def test_device_prefetch(timit):
     out = list(device_prefetch(it, size=2))
     assert len(out) >= 1
     assert isinstance(out[0][0], jax.Array)
+
+
+def test_packed_spec_window_sampler(timit):
+    got = next(iter(timit.packed_spec_window_sampler(batch_size=4, prop_val=0.0)))
+    mfcc, mel, power = got
+    assert mfcc.shape == (4, 40, timit.feat_cfg.input_dim)
+    assert power.shape[2] == timit.feat_cfg.n_stft
+    # windows come from the same utterances/stats as the h5 cache
+    assert np.isfinite(mfcc).all()
+
+
+def test_host_shard_single_process():
+    from speech_cloner_tpu.parallel.distributed import host_shard, per_host_batch
+
+    s = np.arange(10)
+    np.testing.assert_array_equal(host_shard(s), s)  # 1 process -> identity
+    assert per_host_batch(32) == 32
