@@ -124,6 +124,22 @@ def main(argv=None):
                 **({"ds_filter_d": ds_filter_d} if ds_filter_d is not None else {}))
         return gen
 
+    def spec_artifacts(ts_now, step_now):
+        """Dump a val-batch true/pred spectrogram comparison png, the TB-image
+        analog of decoder.py:209-221."""
+        try:
+            mfcc, mel, stft = next(iter(batches(False)()))[:3]
+        except StopIteration:
+            return
+        logits, _ = enc_m.apply(enc_params, enc_state, mfcc[:1], cfg=enc_cfg,
+                                train=False)
+        y_mel, y_stft, _ = dec_m.apply(ts_now["params"], ts_now["model_state"],
+                                       enc_m.posteriors(logits), cfg=cfg, train=False)
+        from ..data.viz import spec_comparison
+
+        spec_comparison(mel[0], y_mel[0], stft[0], y_stft[0],
+                        save_path=os.path.join(args.log_dir, f"spec_{step_now}.png"))
+
     run_training(
         ts,
         train_batches=batches(True),
@@ -136,6 +152,7 @@ def main(argv=None):
         ckpt=Checkpointer(args.model_path, "decoder"),
         log_dir=args.log_dir,
         config_snapshot={"ds": ds_cfg_d},
+        artifact_fn=spec_artifacts,
     )
 
 

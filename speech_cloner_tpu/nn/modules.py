@@ -237,12 +237,44 @@ def gru_init(key, in_dim, units, bidirectional: bool = True):
 
 def gru_apply(params, x):
     """Uni/bidirectional GRU; bidirectional concatenates [fw, bw] on channels
-    (tf.nn.bidirectional_dynamic_rnn + concat, modules.py:200-201)."""
-    fw = _gru_dir_apply(params["fw"], x)
+    (tf.nn.bidirectional_dynamic_rnn + concat, modules.py:200-201).
+
+    Both directions run in ONE fused scan: the backward pass sees reversed
+    inputs, direction-stacked weights turn the recurrent matmuls into a
+    single batched contraction — T sequential steps total instead of 2T
+    (the scan's serial step count is the model's latency floor on TPU).
+    """
     if "bw" not in params:
-        return fw
-    bw = _gru_dir_apply(params["bw"], x[:, ::-1, :])[:, ::-1, :]
-    return jnp.concatenate([fw, bw], axis=2)
+        return _gru_dir_apply(params["fw"], x)
+    fw, bw = params["fw"], params["bw"]
+    B, T, C = x.shape
+    H = fw["candidate_kernel"].shape[1]
+    xr = x[:, ::-1, :]
+
+    def io_proj(p, xx):
+        gx = xx @ p["gates_kernel"][:C] + p["gates_bias"]
+        cx = xx @ p["candidate_kernel"][:C] + p["candidate_bias"]
+        return gx, cx
+
+    gx_f, cx_f = io_proj(fw, x)
+    gx_b, cx_b = io_proj(bw, xr)
+    gx = jnp.stack([gx_f, gx_b], 0).transpose(2, 0, 1, 3)  # [T, 2, B, 2H]
+    cx = jnp.stack([cx_f, cx_b], 0).transpose(2, 0, 1, 3)  # [T, 2, B, H]
+    Wg_h = jnp.stack([fw["gates_kernel"][C:], bw["gates_kernel"][C:]], 0)      # [2, H, 2H]
+    Wc_h = jnp.stack([fw["candidate_kernel"][C:], bw["candidate_kernel"][C:]], 0)
+
+    def step(h, inputs):
+        gx_t, cx_t = inputs
+        ru = jax.nn.sigmoid(gx_t + jnp.einsum("dbh,dhk->dbk", h, Wg_h))
+        r, u = ru[..., :H], ru[..., H:]
+        c = jnp.tanh(cx_t + jnp.einsum("dbh,dhk->dbk", r * h, Wc_h))
+        return u * h + (1.0 - u) * c, u * h + (1.0 - u) * c
+
+    h0 = jnp.zeros((2, B, H), dtype=x.dtype) + 0.0 * x[:1, :, 0][None, :, :1]
+    _, ys = jax.lax.scan(step, h0, (gx, cx))         # ys [T, 2, B, H]
+    fw_out = ys[:, 0].transpose(1, 0, 2)
+    bw_out = ys[:, 1].transpose(1, 0, 2)[:, ::-1, :]
+    return jnp.concatenate([fw_out, bw_out], axis=2)
 
 
 # -------------------------------------------------------------------- lstm ---

@@ -45,6 +45,7 @@ def run_training(
     log_dir: str | None = None,
     config_snapshot: dict | None = None,
     on_epoch: Callable[[dict, int], None] | None = None,
+    artifact_fn: Callable[[dict, int], None] | None = None,
 ) -> dict:
     """Run the training loop; returns the final TrainState.
 
@@ -97,6 +98,8 @@ def run_training(
                         vm = eval_step(ts, *vb)
                         if val_writer:
                             val_writer.write(step, vm)
+                    if artifact_fn is not None:
+                        artifact_fn(ts, step)
 
                 if epoch >= loop_cfg.n_epochs:
                     stop = True
