@@ -1,0 +1,78 @@
+"""Evaluation app: encoder frame accuracy / decoder losses over a dataset.
+
+Rebuilds the reference's eval entry points (encoder.eval_acc invoked at
+encoder.py:495; decoder.eval_loss decoder.py:474-493) as a CLI:
+
+  python -m speech_cloner_tpu.apps.evaluate encoder \
+      --ds-path /data/TIMIT --ckpt ./enc_ckpt [--tf-ckpt .../encoder-136512]
+
+  python -m speech_cloner_tpu.apps.evaluate decoder \
+      --ds-path /data/ARCTIC/cmu_arctic --spk-id slt \
+      --enc-ckpt .../encoder-136512 --ckpt ./dec_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..models import decoder as dec_m
+from ..models import encoder as enc_m
+from ..runtime.config import feature_config_from_cfg_d, load_cfg_d
+from ..train.evaluate import eval_acc, eval_loss
+from .train_decoder import load_encoder_weights
+from .train_encoder import DEFAULT_DS_CFG
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=("encoder", "decoder"))
+    ap.add_argument("--ds-path", required=True)
+    ap.add_argument("--ckpt", required=True, help="model to evaluate (ours or TF)")
+    ap.add_argument("--enc-ckpt", help="frozen encoder for decoder eval")
+    ap.add_argument("--enc-cfg")
+    ap.add_argument("--dec-cfg")
+    ap.add_argument("--ds-cfg")
+    ap.add_argument("--spk-id", default="slt")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--n-batches", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
+    feat_cfg = feature_config_from_cfg_d(ds_cfg_d)
+    enc_cfg = (enc_m.config_from_cfg_d(load_cfg_d(args.enc_cfg))
+               if args.enc_cfg else enc_m.EncoderConfig())
+
+    if args.mode == "encoder":
+        from ..data.timit import TIMIT
+
+        params, state = load_encoder_weights(args.ckpt, enc_cfg)
+        ds = TIMIT(args.ds_path, feat_cfg, n_timesteps=enc_cfg.n_timesteps, verbose=True)
+        ds.build_spec_cache("phn_mfcc_cache.h5py")
+        sampler = ds.window_sampler(batch_size=args.batch_size, n_epochs=1,
+                                    ds_filter_d={"ds_type": "TEST"},
+                                    base_name="phn_mfcc_cache.h5py")
+        acc, n = eval_acc(params, state, sampler, cfg=enc_cfg, verbose=True)
+        print(f" final acc over {n} frames: {acc:.4f}")
+    else:
+        from ..data.arctic import ARCTIC
+        from .convert import load_decoder_weights
+
+        if not args.enc_ckpt:
+            raise SystemExit("decoder eval requires --enc-ckpt")
+        dec_cfg = (dec_m.config_from_cfg_d(load_cfg_d(args.dec_cfg))
+                   if args.dec_cfg else dec_m.DecoderConfig())
+        enc_params, enc_state = load_encoder_weights(args.enc_ckpt, enc_cfg)
+        dec_params, dec_state = load_decoder_weights(args.ckpt, dec_cfg)
+        ds = ARCTIC(args.ds_path, feat_cfg, n_timesteps=dec_cfg.n_timesteps, verbose=True)
+        ds.build_spec_cache()
+        sampler = ds.spec_window_sampler(batch_size=args.batch_size, n_epochs=1,
+                                         sample_trn=False, prop_val=0.02,
+                                         ds_filter_d={"spk_id": args.spk_id})
+        loss, mel_l, stft_l = eval_loss(
+            dec_params, dec_state, sampler, enc_params=enc_params,
+            enc_state=enc_state, enc_cfg=enc_cfg, dec_cfg=dec_cfg, verbose=True)
+        print(f" final: loss={loss:.3f} mel={mel_l:.3f} stft={stft_l:.3f}")
+
+
+if __name__ == "__main__":
+    main()

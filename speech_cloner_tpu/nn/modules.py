@@ -237,12 +237,22 @@ def gru_init(key, in_dim, units, bidirectional: bool = True):
 
 def gru_apply(params, x):
     """Uni/bidirectional GRU; bidirectional concatenates [fw, bw] on channels
-    (tf.nn.bidirectional_dynamic_rnn + concat, modules.py:200-201).
+    (tf.nn.bidirectional_dynamic_rnn + concat, modules.py:200-201)."""
+    fw = _gru_dir_apply(params["fw"], x)
+    if "bw" not in params:
+        return fw
+    bw = _gru_dir_apply(params["bw"], x[:, ::-1, :])[:, ::-1, :]
+    return jnp.concatenate([fw, bw], axis=2)
 
-    Both directions run in ONE fused scan: the backward pass sees reversed
-    inputs, direction-stacked weights turn the recurrent matmuls into a
-    single batched contraction — T sequential steps total instead of 2T
-    (the scan's serial step count is the model's latency floor on TPU).
+
+def gru_apply_fused(params, x):
+    """Bidirectional GRU with both directions in ONE scan (direction-stacked
+    recurrent weights, batched einsum): T sequential steps instead of 2T.
+
+    NOT the default: measured on the current v5e toolchain, the einsum-in-scan
+    form compiles pathologically slowly (>9 min for the full decoder vs ~3 min
+    with two scans) while the runtime difference is negligible because the
+    vocoder dominates. Kept for toolchains where compile cost is amortized.
     """
     if "bw" not in params:
         return _gru_dir_apply(params["fw"], x)

@@ -33,3 +33,12 @@ def test_pallas_gru_switch_restores():
     # restored path is the original function again
     ref2 = M.gru_apply(params, x)
     np.testing.assert_array_equal(np.asarray(ref2), np.asarray(ref))
+
+
+def test_gru_apply_fused_matches_default():
+    B, T, C, H = 2, 12, 6, 8
+    params = M.gru_init(jax.random.PRNGKey(2), C, H)
+    x = jnp.asarray(RNG.standard_normal((B, T, C)) * 0.5, jnp.float32)
+    ref = M.gru_apply(params, x)
+    got = M.gru_apply_fused(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
