@@ -217,3 +217,32 @@ def test_enc14_import_logits_parity():
     mine_p = np.asarray(enc.posteriors(jnp.asarray(np.asarray(logits))))
     ref_p = np.exp(ref) / np.exp(ref).sum(-1, keepdims=True)
     np.testing.assert_allclose(mine_p, ref_p, atol=1e-5)
+
+
+ENC6 = "/root/reference/enc_6_ckpt/encoder-184032"
+
+
+@pytest.mark.skipif(not os.path.exists(ENC6 + ".index"), reason="enc_6 ckpt absent")
+def test_enc6_import_different_geometry():
+    """The importer must handle the alternate shipped geometry (E=64, K=4,
+    hwy=2, 40-dim input, per enc_6_ckpt/encoder_6_cfg_d.json)."""
+    import json
+
+    from speech_cloner_tpu.models import encoder as enc
+    from speech_cloner_tpu.runtime.tf_import import load_tf_encoder
+
+    with open("/root/reference/enc_6_ckpt/encoder_6_cfg_d.json") as f:
+        cfg = enc.config_from_cfg_d(json.load(f))
+    assert cfg.embed == 64 and cfg.num_conv_banks == 4
+    params, state = load_tf_encoder(ENC6, cfg)
+    assert params["prenet"]["dense1"]["kernel"].shape == (40, 64)
+    assert len(params["CBHG"]["banks"]["kernels"]) == 4
+    assert len(params["CBHG"]["highway"]) == 2
+
+    x = jnp.asarray(_rand(1, 400, 40) * 0.1)
+    logits, _ = enc.apply(params, state, x, cfg=cfg, train=False)
+    assert logits.shape == (1, 400, 61)
+    probs = np.asarray(enc.posteriors(logits))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    # a trained model on in-range input should not be uniform
+    assert probs.max() > 0.2
