@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--save-each-n-epochs", type=int, default=3)
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-data", type=int, default=0,
+                    help="data-parallel mesh size (0 = single device)")
+    ap.add_argument("--n-model", type=int, default=1,
+                    help="tensor-parallel mesh size (conv banks)")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -75,6 +79,17 @@ def main(argv=None):
     ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
     opt = opt_cfg.make()
 
+    batch_shard = None
+    if args.n_data:
+        from ..parallel import batch_sharding, make_mesh, shard_params, shard_state
+
+        mesh = make_mesh(n_data=args.n_data, n_model=args.n_model)
+        mesh.__enter__()  # stays active for the run
+        ts = {**ts, "params": shard_params(ts["params"], mesh),
+              "model_state": shard_state(ts["model_state"], mesh)}
+        batch_shard = batch_sharding(mesh)
+        print(f" mesh: data={args.n_data} model={args.n_model}")
+
     step = jax.jit(lambda t, x, y: encoder_train_step(t, x, y, cfg=cfg,
                                                       opt_cfg=opt_cfg, opt=opt))
     ev = jax.jit(lambda t, x, y: encoder_eval_step(t["params"], t["model_state"],
@@ -92,7 +107,7 @@ def main(argv=None):
         eval_step=ev,
         loop_cfg=LoopConfig(n_epochs=args.n_epochs, steps_per_epoch=steps_per_epoch,
                             save_each_n_epochs=args.save_each_n_epochs,
-                            max_steps=args.max_steps),
+                            max_steps=args.max_steps, batch_sharding=batch_shard),
         ckpt=Checkpointer(args.model_path, "encoder"),
         log_dir=args.log_dir,
         config_snapshot={"ds": ds_cfg_d, "model": json.loads(json.dumps(

@@ -128,3 +128,15 @@ def test_clean_ckpt_app(tmp_path):
     left = ck.steps()
     assert 0 not in left and 10 not in left
     assert 90 in left and len(left) <= 5
+
+
+def test_train_encoder_app_distributed(timit_root, tmp_path):
+    """Encoder app with --n-data/--n-model on the 8-virtual-device backend."""
+    from speech_cloner_tpu.apps.train_encoder import main
+
+    main(["--ds-path", timit_root, "--model-path", str(tmp_path / "enc_dp"),
+          "--log-dir", str(tmp_path / "logs_dp"),
+          "--ds-cfg", _small_ds_cfg(tmp_path), "--enc-cfg", _small_enc_cfg(tmp_path),
+          "--batch-size", "8", "--max-steps", "2",
+          "--n-data", "4", "--n-model", "2"])
+    assert Checkpointer(str(tmp_path / "enc_dp"), "encoder").latest_step() == 2
