@@ -24,7 +24,6 @@ from ..data.audio_io import load_audio, write_riff_wav
 from ..models import decoder as dec_m
 from ..models import encoder as enc_m
 from ..ops import from_power_to_wav, mfcc_input
-from ..pipeline.clone import make_pipeline
 from ..runtime.checkpoint import Checkpointer
 from ..runtime.config import feature_config_from_cfg_d, load_cfg_d
 from .train_decoder import load_encoder_weights

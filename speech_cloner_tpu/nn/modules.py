@@ -32,7 +32,6 @@ the shipped enc_*_ckpt weights import exactly:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ All collectives ride the ICI ('seq' axis neighbors).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ by 32 through feed_dict, decoder.py:452-458).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,9 +20,9 @@ import numpy as np
 
 from ..models import decoder as dec_m
 from ..models import encoder as enc_m
-from ..ops import feature_matrices, from_power_to_wav, mfcc_input
+from ..ops import from_power_to_wav, mfcc_input
 from ..ops.features import FeatureConfig
-from .stitch import compound, pad_to_multiple, shifted_window_stack, stitch_single, window_stack
+from .stitch import compound, shifted_window_stack, stitch_single, window_stack
 
 
 @dataclasses.dataclass(frozen=True)

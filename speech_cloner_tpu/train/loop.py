@@ -14,8 +14,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Iterator
 
-import jax
-import numpy as np
 
 from ..data.prefetch import device_prefetch
 from ..runtime.checkpoint import Checkpointer
