@@ -98,6 +98,25 @@ class SoundDataset:
                 pickle.dump(self.ds, f)
             self._normalize()
 
+    # ----------------------------------------------------------- playback ---
+
+    def play(self, wave, blocking: bool = False):
+        """Audio playback (sound_ds.py:48-51); requires sounddevice."""
+        from .viz import play
+
+        play(wave, self.feat_cfg.sample_rate, blocking=blocking)
+
+    def stop(self):
+        from .viz import stop
+
+        stop()
+
+    def spec_show(self, spec, phn_v=None, **kw):
+        """Spectrogram viewer with phone overlays (sound_ds.py:67-112)."""
+        from .viz import spec_show
+
+        spec_show(spec, phn_v=phn_v, idx2phn=self.idx2phn or None, **kw)
+
     # ---------------------------------------------------------- filtering ---
 
     def get_ds_filter(self, ds_filter_d: dict[str, Any] | None = None) -> np.ndarray:

@@ -64,10 +64,15 @@ def griffin_lim(
         return stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
                     window=window, xp=jnp)
 
+    def replace_magnitude(S):
+        # amp * S/|S| == amp * exp(i*angle(S)) (audio_lib.py:268-270) but as a
+        # complex normalization — one rsqrt instead of atan2 + sincos per bin.
+        mag = jnp.abs(S)
+        return stft_amp * (S / jnp.maximum(mag, jnp.finfo(jnp.float32).tiny))
+
     if momentum == 0.0:
         def body(_, S):
-            phase = jnp.angle(project(S))
-            return stft_amp * jnp.exp(1j * phase)
+            return replace_magnitude(project(S))
 
         S = jax.lax.fori_loop(0, max(num_iters - 1, 0), body, S0)
     else:
@@ -75,8 +80,7 @@ def griffin_lim(
             S, P_prev = carry
             P = project(S)
             extrap = P + momentum * (P - P_prev)
-            S_next = stft_amp * jnp.exp(1j * jnp.angle(extrap))
-            return S_next, P
+            return replace_magnitude(extrap), P
 
         S, _ = jax.lax.fori_loop(0, max(num_iters - 1, 0), body,
                                  (S0, jnp.zeros_like(S0)))
