@@ -2,9 +2,10 @@
 
 The reference saves with tf.train.Saver under variable scopes built in
 encoder.py:94-111 / decoder.py:78-180; the full variable map of
-enc_14_ckpt/encoder-136512 is documented in SURVEY.md §2.1 C17. TensorFlow is
-used only here, lazily, as a dev-side reader (`tf.train.load_checkpoint`);
-nothing else in the framework touches TF.
+enc_14_ckpt/encoder-136512 is documented in SURVEY.md §2.1 C17. The bundle
+files are parsed by our own pure-Python reader (runtime/tf_bundle.py) —
+TensorFlow is NOT required anywhere in the framework (it appears only in
+the parity test suite).
 
 Name mapping (TF -> pytree):
   <scope>/prenet/dense{1,2}/{kernel,bias}                -> params[prenet][dense{1,2}]
@@ -29,9 +30,11 @@ import jax.numpy as jnp
 
 
 def _reader(ckpt_path: str):
-    import tensorflow as tf  # dev-only dependency, lazy
+    # self-contained bundle reader (runtime/tf_bundle.py) — byte-identical to
+    # tf.train.load_checkpoint on the shipped checkpoints, no TF needed
+    from .tf_bundle import BundleReader
 
-    return tf.train.load_checkpoint(ckpt_path)
+    return BundleReader(ckpt_path)
 
 
 def _get(reader, name):

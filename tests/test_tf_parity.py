@@ -246,3 +246,19 @@ def test_enc6_import_different_geometry():
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
     # a trained model on in-range input should not be uniform
     assert probs.max() > 0.2
+
+
+@pytest.mark.skipif(not os.path.exists(ENC14 + ".index"), reason="enc_14 ckpt absent")
+def test_pure_python_bundle_reader_matches_tf():
+    """runtime/tf_bundle.BundleReader must be byte-identical to
+    tf.train.load_checkpoint on the shipped checkpoint."""
+    from speech_cloner_tpu.runtime.tf_bundle import BundleReader
+
+    mine = BundleReader(ENC14)
+    ref = tf.train.load_checkpoint(ENC14)
+    ref_map = ref.get_variable_to_shape_map()
+    assert set(ref_map) == set(mine.get_variable_to_shape_map())
+    for k in sorted(ref_map):
+        a, b = ref.get_tensor(k), mine.get_tensor(k)
+        assert a.dtype == b.dtype and list(a.shape) == list(b.shape)
+        np.testing.assert_array_equal(a, b)
