@@ -84,8 +84,11 @@ def bigru_warmup(params, x, warmup: int, axis_name: str):
     Each device scans [warmup-from-left + local] forward and
     [local + warmup-from-right] backward, keeping only the local outputs.
     """
-    xw = halo_pad(x, warmup, warmup, axis_name)
     T_loc = x.shape[1]
+    if warmup > T_loc:
+        raise ValueError(f"warmup {warmup} exceeds local shard length {T_loc}; "
+                         "use fewer 'seq' shards or a shorter warmup")
+    xw = halo_pad(x, warmup, warmup, axis_name)
     fw_in = xw[:, : warmup + T_loc, :]
     bw_in = xw[:, warmup:, :]
     fw = M._gru_dir_apply(params["fw"], fw_in)[:, warmup:, :]
