@@ -127,3 +127,34 @@ def test_timit_aux_samplers(tmp_path_factory):
     xw, yw = next(iter(ds.phoneme_sampler(batch_size=4, n_padd=2000)))
     assert xw.shape == (4, 2000)
     assert set(yw) <= {"sh", "iy"}
+
+
+def test_profiler_helpers(tmp_path):
+    from speech_cloner_tpu.runtime.profiler import annotate, device_memory_stats, trace
+
+    with trace(str(tmp_path / "trace")):
+        with annotate("test_region"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import os
+
+    assert os.path.isdir(str(tmp_path / "trace"))
+    stats = device_memory_stats()
+    assert isinstance(stats, dict) and len(stats) >= 1
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    from speech_cloner_tpu.runtime.logging import MetricsWriter, StepTimer
+
+    w = MetricsWriter(str(tmp_path), "trn")
+    w.write(1, {"loss": jnp.asarray(1.5), "acc": 0.25})
+    w.write_array(1, "confusion", np.eye(3))
+    w.close()
+    rec = json.loads(open(str(tmp_path / "trn.jsonl")).readline())
+    assert rec["loss"] == 1.5 and rec["step"] == 1
+    assert np.load(str(tmp_path / "confusion_1.npy")).shape == (3, 3)
+
+    t = StepTimer()
+    t.tick(); t.tick()
+    assert t.steps_per_sec > 0
