@@ -302,3 +302,21 @@ def test_from_power_to_wav_runs_and_norms():
     )
     assert np.isfinite(wav).all()
     np.testing.assert_allclose(np.mean(np.abs(wav)), 0.01, rtol=1e-3)
+
+
+def test_stft_nfft_larger_than_window():
+    """n_fft > win_length: window zero-padded centered (reference supports an
+    explicit n_fft, audio_lib.py:117)."""
+    y = _chirp(4000)
+    S_np = ops.stft(y, n_fft=512, hop_length=128, win_length=400, xp=np)
+    assert S_np.shape[1] == 257
+    S_j = np.asarray(ops.stft(jnp.asarray(y), n_fft=512, hop_length=128,
+                              win_length=400, xp=jnp))
+    np.testing.assert_allclose(np.abs(S_j), np.abs(S_np), atol=2e-3)
+    # istft round-trip with the padded window
+    for xp in (np, jnp):
+        S = ops.stft(xp.asarray(y), n_fft=512, hop_length=128, win_length=400, xp=xp)
+        y_rec = np.asarray(ops.istft(S, hop_length=128, win_length=400,
+                                     n_fft=512, xp=xp))
+        n = min(len(y), len(y_rec))
+        np.testing.assert_allclose(y_rec[512:n-512], y[512:n-512], atol=5e-3)

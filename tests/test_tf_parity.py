@@ -262,3 +262,44 @@ def test_pure_python_bundle_reader_matches_tf():
         a, b = ref.get_tensor(k), mine.get_tensor(k)
         assert a.dtype == b.dtype and list(a.shape) == list(b.shape)
         np.testing.assert_array_equal(a, b)
+
+
+def _keras_lstm_from_tf1(params, units):
+    """keras LSTM carrying TF1-LSTMCell weights. TF1 layout: kernel
+    [(C+H),4H] gate order [i, j(candidate), f, o], forget_bias added in-cell;
+    keras order [i, f, c, o] with the forget bias folded into the bias."""
+    import keras
+
+    W = np.asarray(params["kernel"])
+    b = np.asarray(params["bias"])
+    fb = params["forget_bias"]
+    C = W.shape[0] - units
+    i_, j_, f_, o_ = np.split(W, 4, axis=1)
+    bi, bj, bf, bo = np.split(b, 4)
+    lstm = keras.layers.LSTM(units, return_sequences=True, unit_forget_bias=False)
+    lstm.build((None, None, C))
+    lstm.set_weights([
+        np.concatenate([i_[:C], f_[:C], j_[:C], o_[:C]], 1),
+        np.concatenate([i_[C:], f_[C:], j_[C:], o_[C:]], 1),
+        np.concatenate([bi, bf + fb, bj, bo]),
+    ])
+    return lstm
+
+
+def test_lstm_dir_matches_keras_tf1_semantics():
+    C, H, B, T = 5, 7, 2, 16
+    params = M.lstm_dir_init(jax.random.PRNGKey(3), C, H)
+    x = _rand(B, T, C)
+    mine = np.asarray(M._lstm_dir_apply(params, jnp.asarray(x)))
+    ref = _keras_lstm_from_tf1(params, H)(tf.constant(x)).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_bidirectional_lstm_matches_keras():
+    C, H, B, T = 5, 7, 2, 16
+    params = M.lstm_init(jax.random.PRNGKey(4), C, H, bidirectional=True)
+    x = _rand(B, T, C)
+    mine = np.asarray(M.lstm_apply(params, jnp.asarray(x)))
+    fw = _keras_lstm_from_tf1(params["fw"], H)(tf.constant(x)).numpy()
+    bw = _keras_lstm_from_tf1(params["bw"], H)(tf.constant(x[:, ::-1])).numpy()[:, ::-1]
+    np.testing.assert_allclose(mine, np.concatenate([fw, bw], 2), atol=1e-5)
