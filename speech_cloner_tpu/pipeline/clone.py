@@ -105,6 +105,33 @@ class ClonePipeline:
         wav_pred = self.device_vocode(stft_pred, key)
         return wav_pred, mel_pred, stft_pred, ppg
 
+    # ----------------------------------------------------------- batching ---
+
+    def device_convert_batch(self, wavs, key):
+        """Serving path: convert B equal-length clips concurrently.
+
+        The model forward flattens all clips' windows into one batch; the
+        Griffin-Lim vocoder runs vmapped over clips — one device program for
+        the whole request batch (the reference could only loop clips on host).
+        wavs: [B, L] -> (wav_pred [B, ~L], mel [B, T', 80], stft [B, T', 201]).
+        """
+        mel, stft, _ = jax.vmap(self.device_predict)(wavs)
+        keys = jax.random.split(key, wavs.shape[0])
+        wav_pred = jax.vmap(self.device_vocode)(stft, keys)
+        return wav_pred, mel, stft
+
+    def convert_batch(self, wavs, seed: int = 0):
+        """Host API: list/array of equal-length waveforms -> batched outputs."""
+        wavs = np.stack([np.asarray(w, np.float32) for w in wavs])
+        spw = self.enc_cfg.n_timesteps * self.feat_cfg.hop_length
+        pad = (-wavs.shape[1]) % spw
+        if wavs.shape[1] + pad < spw:
+            pad = spw - wavs.shape[1]
+        wavs = np.pad(wavs, ((0, 0), (0, pad)))
+        fn = _jitted_batch(self, wavs.shape)
+        wav_pred, mel, stft = fn(jnp.asarray(wavs), jax.random.PRNGKey(seed))
+        return np.asarray(wav_pred), np.asarray(mel), np.asarray(stft)
+
     # -------------------------------------------------------------- host ---
 
     def convert(self, wav: np.ndarray, seed: int = 0):
@@ -131,6 +158,16 @@ class ClonePipeline:
 
 
 _JIT_CACHE: dict[tuple, object] = {}
+
+
+def _jitted_batch(p: ClonePipeline, shape):
+    cache_key = ("batch", id(p.enc_params), id(p.dec_params), p.n_iter,
+                 p.realse, p.gl_momentum, shape)
+    fn = _JIT_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(p.device_convert_batch)
+        _JIT_CACHE[cache_key] = fn
+    return fn
 
 
 def _jitted_stages(p: ClonePipeline, length: int):

@@ -91,3 +91,21 @@ def test_single_window_path():
     wav_pred, mel_pred, _, _ = p.convert(wav)
     assert mel_pred.shape[0] == p.enc_cfg.n_timesteps
     assert np.isfinite(wav_pred).all()
+
+
+def test_convert_batch():
+    """Batched serving path: per-clip outputs match the single-clip path."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav_a = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    wav_b = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    p = _tiny_pipeline()
+
+    wavs_pred, mels, stfts = p.convert_batch([wav_a, wav_b])
+    assert wavs_pred.shape[0] == 2 and mels.shape[0] == 2
+    assert np.isfinite(wavs_pred).all()
+
+    # batched result equals the single-clip path for the same input
+    wav_single, mel_single, stft_single, _ = p.convert(wav_a)
+    np.testing.assert_allclose(mels[0], mel_single, atol=1e-4)
+    np.testing.assert_allclose(stfts[0], stft_single, atol=1e-4)
