@@ -71,15 +71,15 @@ def main():
     key = jax.random.PRNGKey(0)
 
     predict_fn = jax.jit(pipe.device_predict)
-    vocode_fn = jax.jit(pipe.device_vocode)
+    vocode_fn = jax.jit(pipe.device_vocode_pcm16)
 
     def run(w, k):
         mel_pred, stft_pred, ppg = predict_fn(w)
-        wav_pred = vocode_fn(stft_pred, k)
+        wav_pcm16 = vocode_fn(stft_pred, k)
         # hard host fetch: on this remote-tunnel runtime block_until_ready
         # can return before completion, so timing must include materializing
-        # the output waveform (which a real pipeline needs anyway)
-        return np.asarray(wav_pred), mel_pred
+        # the output (int16 PCM — the file/wire format — at half the bytes)
+        return np.asarray(wav_pcm16), mel_pred
 
     log("compiling...")
     t0 = time.perf_counter()

@@ -105,6 +105,13 @@ class ClonePipeline:
         wav_pred = self.device_vocode(stft_pred, key)
         return wav_pred, mel_pred, stft_pred, ppg
 
+    def device_vocode_pcm16(self, stft_pred, key):
+        """Vocode and peak-normalize to int16 PCM on device — the wire/file
+        format (write_riff_wav's norm=True path) at half the transfer size."""
+        wav = self.device_vocode(stft_pred, key)
+        peak = jnp.maximum(jnp.max(jnp.abs(wav)), 1e-9)
+        return jnp.clip(wav / peak * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+
     # ----------------------------------------------------------- batching ---
 
     def device_convert_batch(self, wavs, key):

@@ -109,3 +109,18 @@ def test_convert_batch():
     wav_single, mel_single, stft_single, _ = p.convert(wav_a)
     np.testing.assert_allclose(mels[0], mel_single, atol=1e-4)
     np.testing.assert_allclose(stfts[0], stft_single, atol=1e-4)
+
+
+def test_device_vocode_pcm16():
+    """int16 PCM export: peak-normalized, matches the f32 path's waveform."""
+    import jax
+
+    p = _tiny_pipeline()
+    rng = np.random.default_rng(0)
+    stft_pred = jnp.asarray(rng.random((96, 201)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    wav_f32 = np.asarray(p.device_vocode(stft_pred, key))
+    pcm = np.asarray(p.device_vocode_pcm16(stft_pred, key))
+    assert pcm.dtype == np.int16
+    ref = np.clip(wav_f32 / np.abs(wav_f32).max() * 32767, -32768, 32767).astype(np.int16)
+    assert np.mean(np.abs(pcm.astype(np.int32) - ref.astype(np.int32))) < 2
