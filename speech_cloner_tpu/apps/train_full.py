@@ -1,0 +1,97 @@
+"""Joint training runner: encoder (TIMIT) -> decoder (target corpus) ->
+speaker-ID verification, end to end in one command.
+
+This is BASELINE.json config 5 ("joint training run: encoder on TIMIT +
+decoder on TARGET_spk reader with voice_identification eval") as a single
+orchestrated pipeline over the stage apps:
+
+  python -m speech_cloner_tpu.apps.train_full \
+      --timit-path /data/TIMIT \
+      --target-path /data/ARCTIC/cmu_arctic --target-kind arctic --spk-id slt \
+      --work-dir ./run1 [--enc-steps N --dec-steps N --spk-steps N]
+
+Each stage checkpoints under --work-dir and auto-resumes, so the command is
+restartable at any point (the reference required manually running three
+scripts with interactive prompts in the right order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--timit-path", required=True)
+    ap.add_argument("--target-path", required=True)
+    ap.add_argument("--target-kind", choices=("arctic", "target"), default="arctic")
+    ap.add_argument("--spk-id", default="slt")
+    ap.add_argument("--work-dir", default="./train_full")
+    ap.add_argument("--ds-cfg")
+    ap.add_argument("--enc-cfg")
+    ap.add_argument("--dec-cfg")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--enc-steps", type=int, default=None)
+    ap.add_argument("--dec-steps", type=int, default=None)
+    ap.add_argument("--spk-steps", type=int, default=None)
+    ap.add_argument("--enc-epochs", type=int, default=50)
+    ap.add_argument("--dec-epochs", type=int, default=300)
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    enc_path = os.path.join(args.work_dir, "enc_ckpt")
+    dec_path = os.path.join(args.work_dir, "dec_ckpt")
+    spk_path = os.path.join(args.work_dir, "spk_ckpt")
+
+    common_ds = ["--ds-cfg", args.ds_cfg] if args.ds_cfg else []
+
+    # stage 1: phoneme encoder on TIMIT (encoder.py __main__ equivalent)
+    print("=== stage 1/3: encoder on TIMIT ===", flush=True)
+    from .train_encoder import main as enc_main
+
+    enc_args = ["--ds-path", args.timit_path, "--model-path", enc_path,
+                "--log-dir", os.path.join(args.work_dir, "enc_logs"),
+                "--batch-size", str(args.batch_size),
+                "--n-epochs", str(args.enc_epochs)] + common_ds
+    if args.enc_cfg:
+        enc_args += ["--enc-cfg", args.enc_cfg]
+    if args.enc_steps is not None:
+        enc_args += ["--max-steps", str(args.enc_steps)]
+    enc_main(enc_args)
+
+    # stage 2: target-speaker decoder against the frozen stage-1 encoder
+    print("=== stage 2/3: decoder on target corpus ===", flush=True)
+    from .train_decoder import main as dec_main
+
+    dec_args = ["--ds-path", args.target_path, "--ds-kind", args.target_kind,
+                "--spk-id", args.spk_id, "--enc-ckpt", enc_path,
+                "--model-path", dec_path,
+                "--log-dir", os.path.join(args.work_dir, "dec_logs"),
+                "--batch-size", str(args.batch_size),
+                "--n-epochs", str(args.dec_epochs)] + common_ds
+    if args.enc_cfg:
+        dec_args += ["--enc-cfg", args.enc_cfg]
+    if args.dec_cfg:
+        dec_args += ["--dec-cfg", args.dec_cfg]
+    if args.dec_steps is not None:
+        dec_args += ["--max-steps", str(args.dec_steps)]
+    dec_main(dec_args)
+
+    # stage 3: speaker-ID verifier (voice_identification.py equivalent)
+    print("=== stage 3/3: speaker-ID verifier on TIMIT ===", flush=True)
+    from .train_speaker_id import main as spk_main
+
+    spk_args = ["--ds-path", args.timit_path, "--model-path", spk_path,
+                "--batch-size", str(args.batch_size)] + common_ds
+    if args.spk_steps is not None:
+        spk_args += ["--max-steps", str(args.spk_steps)]
+    spk_main(spk_args)
+
+    print(f"=== done: checkpoints under {args.work_dir} ===")
+    print(f"convert with: python -m speech_cloner_tpu.apps.convert "
+          f"--enc-ckpt {enc_path} --dec-ckpt {dec_path} --input <audio>")
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,56 @@ def test_train_encoder_app_distributed(timit_root, tmp_path):
           "--batch-size", "8", "--max-steps", "2",
           "--n-data", "4", "--n-model", "2"])
     assert Checkpointer(str(tmp_path / "enc_dp"), "encoder").latest_step() == 2
+
+
+def test_train_full_pipeline(timit_root, arctic_root, tmp_path):
+    """Joint runner: encoder -> decoder -> speaker-id, then convert with the
+    trained checkpoints (BASELINE config 5 end to end on fixtures)."""
+    from speech_cloner_tpu.apps.train_full import main as full_main
+
+    enc_cfg = _small_enc_cfg(tmp_path)
+    ds_cfg = _small_ds_cfg(tmp_path)
+    dec_cfg = {
+        "model_name": "decoder", "input_shape": [40, 61],
+        "steps_v": [
+            {"embed_size": 32, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 20},
+            {"embed_size": 48, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 201},
+        ],
+        "dropout_rate": 0.1, "use_lstm": False, "learning_rate": 1e-3,
+        "decay": 1e-3, "mel_loss_weight": 400, "stft_loss_weight": 400,
+        "loss_type": "sum", "use_target_mel_step2": False,
+        "target_mel_step2_val": 500,
+    }
+    dec_cfg_p = str(tmp_path / "dec_full_cfg.json")
+    with open(dec_cfg_p, "w") as f:
+        json.dump(dec_cfg, f)
+
+    work = str(tmp_path / "full_run")
+    full_main(["--timit-path", timit_root, "--target-path", arctic_root,
+               "--target-kind", "arctic", "--spk-id", "slt", "--work-dir", work,
+               "--ds-cfg", ds_cfg, "--enc-cfg", enc_cfg, "--dec-cfg", dec_cfg_p,
+               "--batch-size", "2", "--enc-steps", "2", "--dec-steps", "2",
+               "--spk-steps", "2"])
+    for stage in ("enc_ckpt", "dec_ckpt", "spk_ckpt"):
+        assert Checkpointer(os.path.join(work, stage),
+                            stage.split("_")[0].replace("enc", "encoder")
+                            .replace("dec", "decoder").replace("spk", "speaker_id")
+                            ).latest_step() is not None, stage
+
+    # converted audio from the trained stages
+    from speech_cloner_tpu.apps.convert import main as conv_main
+    from tests.test_data import _tone
+
+    wav_in = str(tmp_path / "in.wav")
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+
+    write_riff_wav(wav_in, _tone(16000), 16000, norm=False)
+    out_dir = str(tmp_path / "conv_out")
+    conv_main(["--input", wav_in, "--output-dir", out_dir,
+               "--enc-ckpt", os.path.join(work, "enc_ckpt"),
+               "--dec-ckpt", os.path.join(work, "dec_ckpt"),
+               "--enc-cfg", enc_cfg, "--dec-cfg", dec_cfg_p, "--ds-cfg", ds_cfg,
+               "--n-iter", "4", "--t-e", "1"])
+    assert os.path.exists(os.path.join(out_dir, "in_pred.wav"))
