@@ -47,6 +47,11 @@ def main(argv=None):
     split = {"split_key": "spk_id", "split_props_v": (0.8, 0.9)}
     filt_trn = {"split_d": {**split, "split_type": "trn"}}
     filt_val = {"split_d": {**split, "split_type": "val"}}
+    # tiny corpora can leave the 0.8-0.9 val slice empty per speaker; fall
+    # back to the train filter so the val stream always yields
+    if int(ds.get_ds_filter(filt_val).sum()) < args.batch_size:
+        print(" WARNING: val split smaller than a batch; validating on train data")
+        filt_val = filt_trn
 
     params, state = spk_m.init(jax.random.PRNGKey(args.seed), cfg)
     opt_cfg = OptimizerConfig(learning_rate=1e-4)  # voice_identification.py:32

@@ -261,12 +261,18 @@ class SoundDataset:
 
     @staticmethod
     def _val_split(samples: np.ndarray, prop_val: float, sample_trn: bool) -> np.ndarray:
-        """Fixed seed-0 utterance split (sound_ds.py:268-283 parity)."""
+        """Fixed seed-0 utterance split (sound_ds.py:268-283 parity).
+
+        When prop_val rounds to zero validation utterances (tiny corpora),
+        train keeps everything and val is empty — the reference's
+        ``idx_v[:-0]`` would silently empty the TRAIN set instead."""
         if prop_val <= 0.0:
             return samples
         rng = np.random.default_rng(0)
         idx = rng.permutation(len(samples))
         n_val = int(prop_val * len(samples))
+        if n_val == 0:
+            return samples if sample_trn else samples[:0]
         keep = idx[:-n_val] if sample_trn else idx[-n_val:]
         return samples[keep]
 

@@ -73,7 +73,9 @@ def run_training(
         if loop_cfg.prefetch:
             batches = device_prefetch(batches, size=loop_cfg.prefetch,
                                       sharding=loop_cfg.batch_sharding)
+        got_batch = False
         for batch in batches:
+            got_batch = True
             ts, metrics = train_step(ts, *batch)
             timer.tick()
             step = int(ts["step"])
@@ -107,6 +109,10 @@ def run_training(
                 stop = True
                 break
         else:
+            if not got_batch:
+                raise RuntimeError(
+                    "train_batches yielded no batches — dataset/filter/split "
+                    "produced fewer samples than one batch")
             continue
         break
 
