@@ -127,6 +127,39 @@ class ClonePipeline:
         wav_pred = jax.vmap(self.device_vocode)(stft, keys)
         return wav_pred, mel, stft
 
+    # ------------------------------------------------- sequence parallel ---
+
+    def convert_seq_parallel(self, wav: np.ndarray, n_devices: int | None = None,
+                             warmup: int = 400, seed: int = 0):
+        """Long-form conversion with the time axis sharded over a 'seq' mesh
+        (parallel/halo.py): no window stitching at all — exact conv halos,
+        warmup-converged GRU seams. Requires multiple JAX devices.
+
+        Returns (wav_pred, mel_pred, stft_pred) numpy arrays.
+        """
+        from ..parallel import make_seq_mesh
+        from ..parallel.halo import clone_forward_seq_parallel
+
+        n = n_devices or jax.device_count()
+        mesh = make_seq_mesh(n)
+        hop = self.feat_cfg.hop_length
+
+        # features on one device (cheap), then shard the frame axis
+        wav_p = np.asarray(wav, np.float32)
+        mfcc, _, _ = mfcc_input(jnp.asarray(wav_p), self.feat_cfg, xp=jnp)
+        T = (mfcc.shape[0] // n) * n
+        per = T // n
+        if warmup > per:
+            warmup = per
+        mfcc = mfcc[None, :T]
+
+        fwd = clone_forward_seq_parallel(
+            self.enc_params, self.enc_state, self.enc_cfg,
+            self.dec_params, self.dec_state, self.dec_cfg, mesh, warmup=warmup)
+        mel, stft, _ = fwd(mfcc)
+        wav_pred = self.device_vocode(stft[0], jax.random.PRNGKey(seed))
+        return np.asarray(wav_pred), np.asarray(mel[0]), np.asarray(stft[0])
+
     def convert_batch(self, wavs, seed: int = 0):
         """Host API: list/array of equal-length waveforms -> batched outputs."""
         wavs = np.stack([np.asarray(w, np.float32) for w in wavs])

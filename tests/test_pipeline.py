@@ -124,3 +124,28 @@ def test_device_vocode_pcm16():
     assert pcm.dtype == np.int16
     ref = np.clip(wav_f32 / np.abs(wav_f32).max() * 32767, -32768, 32767).astype(np.int16)
     assert np.mean(np.abs(pcm.astype(np.int32) - ref.astype(np.int32))) < 2
+
+
+def test_convert_seq_parallel():
+    """SP conversion on the 8-virtual-device mesh ~= the stitched path's
+    spectrogram (exact convs, warmup GRU seams, no window boundaries)."""
+    import jax
+
+    assert jax.device_count() >= 4
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+    p = _tiny_pipeline()
+
+    wav_sp, mel_sp, stft_sp = p.convert_seq_parallel(wav, n_devices=4, warmup=48)
+    assert np.isfinite(wav_sp).all()
+    # compare against an unsharded full-sequence forward on the same frames
+    import jax.numpy as jnp
+
+    from speech_cloner_tpu.ops import mfcc_input
+
+    mfcc, _, _ = mfcc_input(jnp.asarray(wav), p.feat_cfg, xp=jnp)
+    T = (mfcc.shape[0] // 4) * 4
+    mel_ref, stft_ref, _ = p.forward_windows(mfcc[None, :T])
+    err = np.median(np.abs(mel_sp - np.asarray(mel_ref[0])))
+    assert err < 1e-3, err
