@@ -44,17 +44,34 @@ class ClonePipeline:
     realse: float = 1.0
     gl_momentum: float = 0.0          # Fast Griffin-Lim (opt-in; 0 = reference)
     mean_abs_amp_norm: float = 0.045  # 15 * 0.003 (test.py:153,165)
+    compute_dtype: object = None      # e.g. jnp.bfloat16 (opt-in; None = f32 parity)
 
     # ------------------------------------------------------------ device ---
 
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = self.compute_dtype
+        return jax.tree.map(
+            lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree)
+
     def forward_windows(self, mfcc_windows):
-        """[K, T, E] MFCC windows -> (y_mel [K,T,80], y_stft [K,T,201], ppg)."""
-        logits, _ = enc_m.apply(self.enc_params, self.enc_state, mfcc_windows,
-                                cfg=self.enc_cfg, train=False)
-        ppg = enc_m.posteriors(logits)
-        y_mel, y_stft, _ = dec_m.apply(self.dec_params, self.dec_state, ppg,
-                                       cfg=self.dec_cfg, train=False)
-        return y_mel, y_stft, ppg
+        """[K, T, E] MFCC windows -> (y_mel [K,T,80], y_stft [K,T,201], ppg).
+
+        With compute_dtype=bfloat16, the model matmuls run in bf16 (MXU's
+        native precision) and the outputs are cast back to f32 for the
+        vocoder; softmax posteriors are computed in f32 either way.
+        """
+        x = mfcc_windows if self.compute_dtype is None \
+            else mfcc_windows.astype(self.compute_dtype)
+        logits, _ = enc_m.apply(self._cast(self.enc_params), self._cast(self.enc_state),
+                                x, cfg=self.enc_cfg, train=False)
+        ppg = enc_m.posteriors(logits.astype(jnp.float32))
+        ppg_in = ppg if self.compute_dtype is None else ppg.astype(self.compute_dtype)
+        y_mel, y_stft, _ = dec_m.apply(self._cast(self.dec_params), self._cast(self.dec_state),
+                                       ppg_in, cfg=self.dec_cfg, train=False)
+        return y_mel.astype(jnp.float32), y_stft.astype(jnp.float32), ppg
 
     def device_predict(self, wav):
         """Padded wav [L] -> (mel_pred, stft_pred, ppg): features + encoder +

@@ -149,3 +149,19 @@ def test_convert_seq_parallel():
     mel_ref, stft_ref, _ = p.forward_windows(mfcc[None, :T])
     err = np.median(np.abs(mel_sp - np.asarray(mel_ref[0])))
     assert err < 1e-3, err
+
+
+def test_bf16_compute_mode_close_to_f32():
+    """Opt-in bf16 inference stays close to the f32 path (outputs in [-1,1]
+    normalized spectrogram space)."""
+    import dataclasses
+
+    p32 = _tiny_pipeline()
+    p16 = dataclasses.replace(p32, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mfcc = jnp.asarray(rng.standard_normal((2, 48, 80)).astype(np.float32) * 0.2)
+    mel32, stft32, ppg32 = p32.forward_windows(mfcc)
+    mel16, stft16, ppg16 = p16.forward_windows(mfcc)
+    assert mel16.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(mel16 - mel32))) < 0.08
+    assert float(jnp.max(jnp.abs(ppg16 - ppg32))) < 0.08
