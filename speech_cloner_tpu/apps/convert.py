@@ -44,6 +44,9 @@ def load_decoder_weights(path: str, cfg: dec_m.DecoderConfig):
 
 
 def main(argv=None):
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output-dir", default="./output")

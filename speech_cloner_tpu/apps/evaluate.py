@@ -24,6 +24,9 @@ from .train_encoder import DEFAULT_DS_CFG
 
 
 def main(argv=None):
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", choices=("encoder", "decoder"))
     ap.add_argument("--ds-path", required=True)

@@ -48,6 +48,9 @@ def load_encoder_weights(path: str, cfg: enc_m.EncoderConfig):
 
 
 def main(argv=None):
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ds-path", required=True)
     ap.add_argument("--ds-kind", choices=("arctic", "target"), default="arctic")

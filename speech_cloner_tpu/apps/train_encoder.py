@@ -35,6 +35,9 @@ DEFAULT_DS_CFG = {
 
 
 def main(argv=None):
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ds-path", required=True)
     ap.add_argument("--model-path", default="./enc_ckpt")

@@ -22,6 +22,9 @@ import os
 
 
 def main(argv=None):
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--timit-path", required=True)
     ap.add_argument("--target-path", required=True)
