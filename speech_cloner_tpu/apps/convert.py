@@ -38,7 +38,8 @@ def load_decoder_weights(path: str, cfg: dec_m.DecoderConfig):
     ck = Checkpointer(path, "decoder")
     tree, step = ck.restore()
     if tree is None:
-        raise FileNotFoundError(f"no decoder checkpoint under {path}")
+        raise SystemExit(f"error: no decoder checkpoint found under {path} "
+                         f"(expected decoder-<step>.npz or a TF <prefix>.index)")
     print(f" decoder restored from step {step}")
     return tree["params"], tree["model_state"]
 
@@ -88,6 +89,8 @@ def main(argv=None):
                          n_iter=args.n_iter, realse=args.realse,
                          gl_momentum=args.gl_momentum)
 
+    if not os.path.exists(args.input):
+        raise SystemExit(f"error: input file not found: {args.input}")
     print(f" loading {args.input}")
     wav = load_audio(args.input, feat_cfg.sample_rate)
     sr = feat_cfg.sample_rate

@@ -42,7 +42,8 @@ def load_encoder_weights(path: str, cfg: enc_m.EncoderConfig):
     ck = Checkpointer(path, "encoder")
     tree, step = ck.restore()
     if tree is None:
-        raise FileNotFoundError(f"no encoder checkpoint under {path}")
+        raise SystemExit(f"error: no encoder checkpoint found under {path} "
+                         f"(expected encoder-<step>.npz or a TF <prefix>.index)")
     print(f" encoder restored from step {step}")
     return tree["params"], tree["model_state"]
 
