@@ -95,17 +95,27 @@ def read_via_ffmpeg(path: str, target_sr: int) -> tuple[np.ndarray, int]:
     return np.frombuffer(raw, dtype="<f4").astype(np.float32), target_sr
 
 
-def load_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
-    """Any supported audio file -> float32 mono at sample_rate."""
+def load_audio(path: str, sample_rate: int = 16000, use_native: bool = True) -> np.ndarray:
+    """Any supported audio file -> float32 mono at sample_rate.
+
+    PCM WAV/SPHERE decode goes through the native C++ decoder when the
+    library is built (native/scl_data.cc — one pass, no Python chunking);
+    the Python readers are the fallback, ffmpeg handles compressed formats.
+    """
     ext = os.path.splitext(path)[1].lower()
     try:
         if ext in (".wav", ".wv1", ".wv2", ""):
             with open(path, "rb") as f:
                 magic = f.read(8)
-            if magic.startswith(b"RIFF"):
-                y, sr = read_riff_wav(path)
-            elif magic.startswith(b"NIST_1A"):
-                y, sr = read_nist_sphere(path)
+            if magic.startswith((b"RIFF", b"NIST_1A")):
+                if use_native:
+                    from .packed_cache import native_decode_pcm
+
+                    out = native_decode_pcm(path)
+                    if out is not None:
+                        return _resample(out[0], out[1], sample_rate)
+                y, sr = (read_riff_wav(path) if magic.startswith(b"RIFF")
+                         else read_nist_sphere(path))
             else:
                 y, sr = read_via_ffmpeg(path, sample_rate)
         else:

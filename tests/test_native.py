@@ -117,3 +117,14 @@ def test_pack_from_h5(tmp_path):
     out = pack_from_h5(h5p, str(tmp_path / "o.sclpack"), streams=("mfcc", "mel_dB"))
     r = PackedReader(out, use_native=False)
     assert r.n_utts == 3 and r.dims == [5, 7]
+
+
+def test_load_audio_native_path_matches_python(tmp_path):
+    """load_audio's native fast path must be byte-equivalent to the Python
+    readers for both RIFF and SPHERE."""
+    y = (0.25 * np.sin(2 * np.pi * 500 * np.arange(4000) / 16000)).astype(np.float32)
+    p = str(tmp_path / "n.wav")
+    audio_io.write_riff_wav(p, y, 16000, norm=False)
+    a = audio_io.load_audio(p, 16000, use_native=True)
+    b = audio_io.load_audio(p, 16000, use_native=False)
+    np.testing.assert_array_equal(a, b)
