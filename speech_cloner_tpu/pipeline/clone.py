@@ -147,19 +147,21 @@ class ClonePipeline:
     # ------------------------------------------------- sequence parallel ---
 
     def convert_seq_parallel(self, wav: np.ndarray, n_devices: int | None = None,
-                             warmup: int = 400, seed: int = 0):
-        """Long-form conversion with the time axis sharded over a 'seq' mesh
-        (parallel/halo.py): no window stitching at all — exact conv halos,
-        warmup-converged GRU seams. Requires multiple JAX devices.
+                             warmup: int = 400, seed: int = 0,
+                             sp_vocoder: bool = True):
+        """Long-form conversion with the time axis sharded over a 'seq' mesh:
+        model forward via halo exchange (parallel/halo.py) AND the Griffin-Lim
+        loop sharded with boundary-tail ppermutes (parallel/gl_sp.py) — no
+        window stitching, no single-chip gather until the final waveform.
 
         Returns (wav_pred, mel_pred, stft_pred) numpy arrays.
         """
         from ..parallel import make_seq_mesh
+        from ..parallel.gl_sp import from_power_to_wav_seq_parallel
         from ..parallel.halo import clone_forward_seq_parallel
 
         n = n_devices or jax.device_count()
         mesh = make_seq_mesh(n)
-        hop = self.feat_cfg.hop_length
 
         # features on one device (cheap), then shard the frame axis
         wav_p = np.asarray(wav, np.float32)
@@ -174,7 +176,19 @@ class ClonePipeline:
             self.enc_params, self.enc_state, self.enc_cfg,
             self.dec_params, self.dec_state, self.dec_cfg, mesh, warmup=warmup)
         mel, stft, _ = fwd(mfcc)
-        wav_pred = self.device_vocode(stft[0], jax.random.PRNGKey(seed))
+        if sp_vocoder and per * self.feat_cfg.hop_length > self.feat_cfg.n_fft_:
+            wav_pred = from_power_to_wav_seq_parallel(
+                stft[0], mesh,
+                P_dB_norm_factor=self.feat_cfg.P_dB_norm_factor,
+                pre_emphasis=self.feat_cfg.pre_emphasis,
+                hop_length=self.feat_cfg.hop_length,
+                win_length=self.feat_cfg.win_length,
+                mean_abs_amp_norm=self.mean_abs_amp_norm,
+                n_iter=self.n_iter, n_fft=self.feat_cfg.n_fft_,
+                realse=self.realse, key=jax.random.PRNGKey(seed),
+                momentum=self.gl_momentum)
+        else:
+            wav_pred = self.device_vocode(stft[0], jax.random.PRNGKey(seed))
         return np.asarray(wav_pred), np.asarray(mel[0]), np.asarray(stft[0])
 
     def convert_batch(self, wavs, seed: int = 0):
