@@ -63,6 +63,11 @@ def main(argv=None):
     ap.add_argument("--gl-momentum", type=float, default=0.0,
                     help="Fast Griffin-Lim momentum (0 = reference algorithm)")
     ap.add_argument("--save-true", action="store_true")
+    ap.add_argument("--verify-ckpt",
+                    help="speaker-ID model dir: classify source vs converted "
+                         "audio and report the posterior shift")
+    ap.add_argument("--target-spk",
+                    help="target voice's class in the speaker-ID model")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -107,6 +112,19 @@ def main(argv=None):
     out = os.path.join(args.output_dir, f"{stem}_pred.wav")
     write_riff_wav(out, wav_pred, sr, norm=True)
     print(f" wrote {out}")
+
+    if args.verify_ckpt:
+        import json
+
+        from ..pipeline.verify import format_report, verify_conversion
+
+        report = verify_conversion(wav, wav_pred, args.verify_ckpt, feat_cfg,
+                                   target_spk_id=args.target_spk)
+        print(format_report(report))
+        vp = os.path.join(args.output_dir, f"{stem}_verify.json")
+        with open(vp, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f" wrote {vp}")
 
     if args.save_true:
         import jax

@@ -56,6 +56,16 @@ def main(argv=None):
                                     base_name="phn_mfcc_cache.h5py")
         acc, n = eval_acc(params, state, sampler, cfg=enc_cfg, verbose=True)
         print(f" final acc over {n} frames: {acc:.4f}")
+
+        from ..train.evaluate import eval_confusion, top_confusions
+
+        cm = eval_confusion(params, state, ds.window_sampler(
+            batch_size=args.batch_size, n_epochs=1,
+            ds_filter_d={"ds_type": "TEST"}, base_name="phn_mfcc_cache.h5py"),
+            cfg=enc_cfg, max_batches=args.n_batches)
+        print(" top confused phone pairs (true->pred, count, rate):")
+        for t, p, cnt, r in top_confusions(cm, ds.idx2phn, k=10):
+            print(f"   {t:>5} -> {p:<5} {cnt:6d}  {r:.1%}")
     else:
         from ..data.arctic import ARCTIC
         from .convert import load_decoder_weights

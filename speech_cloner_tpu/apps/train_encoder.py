@@ -98,6 +98,24 @@ def main(argv=None):
     ev = jax.jit(lambda t, x, y: encoder_eval_step(t["params"], t["model_state"],
                                                    x, y, cfg=cfg))
 
+    def confusion_artifact(ts_now, step_now):
+        """Validation confusion matrix at save cadence — the reference's
+        TensorBoard confusion image (encoder.py:152-158) as an .npy artifact
+        plus a top-confused-pairs line."""
+        from ..runtime.logging import MetricsWriter
+        from ..train.evaluate import eval_confusion, top_confusions
+
+        sampler = ds.window_sampler(batch_size=args.batch_size, n_epochs=1,
+                                    ds_filter_d={"ds_type": "TEST"},
+                                    base_name="phn_mfcc_cache.h5py")
+        cm = eval_confusion(ts_now["params"], ts_now["model_state"], sampler,
+                            cfg=cfg, max_batches=8)
+        MetricsWriter(args.log_dir, "val").write_array(step_now, "confusion", cm)
+        pairs = top_confusions(cm, ds.idx2phn, k=5)
+        if pairs:
+            print("   top confusions: " + ", ".join(
+                f"{t}->{p} ({n}, {r:.0%})" for t, p, n, r in pairs))
+
     run_training(
         ts,
         train_batches=lambda: ds.window_sampler(
@@ -115,6 +133,7 @@ def main(argv=None):
         log_dir=args.log_dir,
         config_snapshot={"ds": ds_cfg_d, "model": json.loads(json.dumps(
             cfg, default=lambda o: o.__dict__))},
+        artifact_fn=confusion_artifact,
     )
 
 

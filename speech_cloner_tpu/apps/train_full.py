@@ -1,5 +1,10 @@
 """Joint training runner: encoder (TIMIT) -> decoder (target corpus) ->
-speaker-ID verification, end to end in one command.
+speaker-ID verifier -> clone demo + verification, end to end in one command.
+
+Stage 4 (--demo, arctic targets only) runs the reference's TESTS 1-3
+(test.py:336-413) with the just-trained weights and the speaker-ID
+posterior-shift verdict, writing audio/spectrogram artifacts under
+<work-dir>/demo (see apps/clone_demo.py).
 
 This is BASELINE.json config 5 ("joint training run: encoder on TIMIT +
 decoder on TARGET_spk reader with voice_identification eval") as a single
@@ -40,6 +45,13 @@ def main(argv=None):
     ap.add_argument("--spk-steps", type=int, default=None)
     ap.add_argument("--enc-epochs", type=int, default=50)
     ap.add_argument("--dec-epochs", type=int, default=300)
+    ap.add_argument("--demo", action="store_true",
+                    help="stage 4: TESTS 1-3 clone demo + speaker-ID verdict")
+    ap.add_argument("--demo-source-spk", default="bdl")
+    ap.add_argument("--target-timit-spk",
+                    help="target voice's class name in the speaker-ID model "
+                         "(TIMIT spk_id, e.g. SLT0)")
+    ap.add_argument("--n-iter", type=int, default=200)
     args = ap.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -49,8 +61,10 @@ def main(argv=None):
 
     common_ds = ["--ds-cfg", args.ds_cfg] if args.ds_cfg else []
 
+    n_stages = 4 if args.demo else 3
+
     # stage 1: phoneme encoder on TIMIT (encoder.py __main__ equivalent)
-    print("=== stage 1/3: encoder on TIMIT ===", flush=True)
+    print(f"=== stage 1/{n_stages}: encoder on TIMIT ===", flush=True)
     from .train_encoder import main as enc_main
 
     enc_args = ["--ds-path", args.timit_path, "--model-path", enc_path,
@@ -64,7 +78,7 @@ def main(argv=None):
     enc_main(enc_args)
 
     # stage 2: target-speaker decoder against the frozen stage-1 encoder
-    print("=== stage 2/3: decoder on target corpus ===", flush=True)
+    print(f"=== stage 2/{n_stages}: decoder on target corpus ===", flush=True)
     from .train_decoder import main as dec_main
 
     dec_args = ["--ds-path", args.target_path, "--ds-kind", args.target_kind,
@@ -82,7 +96,7 @@ def main(argv=None):
     dec_main(dec_args)
 
     # stage 3: speaker-ID verifier (voice_identification.py equivalent)
-    print("=== stage 3/3: speaker-ID verifier on TIMIT ===", flush=True)
+    print(f"=== stage 3/{n_stages}: speaker-ID verifier on TIMIT ===", flush=True)
     from .train_speaker_id import main as spk_main
 
     spk_args = ["--ds-path", args.timit_path, "--model-path", spk_path,
@@ -91,9 +105,32 @@ def main(argv=None):
         spk_args += ["--max-steps", str(args.spk_steps)]
     spk_main(spk_args)
 
+    # stage 4: clone demo (TESTS 1-3) + speaker-ID verification
+    if args.demo:
+        if args.target_kind != "arctic":
+            raise SystemExit("--demo requires --target-kind arctic "
+                             "(needs a multi-speaker labeled target corpus)")
+        print(f"=== stage 4/{n_stages}: clone demo + verification ===", flush=True)
+        from .clone_demo import main as demo_main
+
+        demo_args = ["--target-path", args.target_path, "--spk-id", args.spk_id,
+                     "--source-spk", args.demo_source_spk,
+                     "--enc-ckpt", enc_path, "--dec-ckpt", dec_path,
+                     "--spk-ckpt", spk_path,
+                     "--out-dir", os.path.join(args.work_dir, "demo"),
+                     "--n-iter", str(args.n_iter)] + common_ds
+        if args.enc_cfg:
+            demo_args += ["--enc-cfg", args.enc_cfg]
+        if args.dec_cfg:
+            demo_args += ["--dec-cfg", args.dec_cfg]
+        if args.target_timit_spk:
+            demo_args += ["--target-timit-spk", args.target_timit_spk]
+        demo_main(demo_args)
+
     print(f"=== done: checkpoints under {args.work_dir} ===")
     print(f"convert with: python -m speech_cloner_tpu.apps.convert "
-          f"--enc-ckpt {enc_path} --dec-ckpt {dec_path} --input <audio>")
+          f"--enc-ckpt {enc_path} --dec-ckpt {dec_path} --input <audio> "
+          f"[--verify-ckpt {spk_path}]")
 
 
 if __name__ == "__main__":

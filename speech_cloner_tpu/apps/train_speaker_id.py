@@ -72,6 +72,9 @@ def main(argv=None):
                                                base_name="phn_mfcc_cache.h5py")
 
     ckpt = Checkpointer(args.model_path, "speaker_id")
+    # snapshot the speaker-class mapping so verify_conversion can name classes
+    cfg_snapshot = {"n_timesteps": cfg.n_timesteps, "n_features": cfg.n_features,
+                    "n_output": cfg.n_output, "spk_id_v": list(ds.all_spk_id_v)}
     val_iter = val_stream()
     best_val, val_hist = 0.0, []
     i_step = 0
@@ -89,12 +92,12 @@ def main(argv=None):
             # best-weights tracking over a 10-step window (voice_identification.py:217-221)
             if len(val_hist) > 10 and float(np.mean(val_hist[-10:])) > best_val:
                 best_val = float(np.mean(val_hist[-10:]))
-                ckpt.save(ts, step=i_step)
+                ckpt.save(ts, step=i_step, config=cfg_snapshot)
             i_step += 1
             if args.max_steps is not None and i_step >= args.max_steps:
-                ckpt.save(ts, step=i_step, sync=True)
+                ckpt.save(ts, step=i_step, config=cfg_snapshot, sync=True)
                 return
-    ckpt.save(ts, step=i_step, sync=True)
+    ckpt.save(ts, step=i_step, config=cfg_snapshot, sync=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,118 @@
+"""Conversion verification: did the clone actually change speaker identity?
+
+Rebuild of the reference's implicit verification loop
+(voice_identification.py:202-223 trains the speaker CNN; SURVEY.md §0.5 uses
+it "to sanity-check that conversion changes speaker identity") — but closed:
+this module feeds the *true* and *converted* power_dB windows through a
+trained speaker-ID checkpoint and reports the per-class posterior shift, so
+`convert --verify` / train_full stage 4 emit an objective verdict instead of
+a human A/B listen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..models import speaker_id as spk_m
+from ..ops import mfcc_input
+from ..runtime.checkpoint import Checkpointer
+
+
+def load_speaker_model(model_path: str):
+    """Restore (params, state, cfg, spk_id_v) from a train_speaker_id dir.
+
+    The speaker-class mapping is read from the config sidecar the trainer
+    snapshots next to the weights (speaker_id_cfg_d.json).
+    """
+    ck = Checkpointer(model_path, "speaker_id")
+    tree, step = ck.restore()
+    if tree is None:
+        raise FileNotFoundError(f"no speaker_id checkpoint under {model_path}")
+    cfg_path = os.path.join(model_path, "speaker_id_cfg_d.json")
+    with open(cfg_path) as f:
+        cfg_d = json.load(f)
+    cfg = spk_m.SpeakerIdConfig(
+        n_timesteps=int(cfg_d["n_timesteps"]),
+        n_features=int(cfg_d["n_features"]),
+        n_output=int(cfg_d["n_output"]))
+    spk_id_v = list(cfg_d["spk_id_v"])
+    return tree["params"], tree["model_state"], cfg, spk_id_v
+
+
+def power_windows(wav: np.ndarray, feat_cfg, n_timesteps: int) -> np.ndarray:
+    """Waveform -> [K, T, n_stft] power_dB windows (the CNN's input space,
+    voice_identification.py:180)."""
+    _, _, power = mfcc_input(np.asarray(wav, np.float32), feat_cfg, xp=np)
+    T = n_timesteps
+    if power.shape[0] < T:
+        power = np.pad(power, ((0, T - power.shape[0]), (0, 0)))
+    K = max(power.shape[0] // T, 1)
+    return power[: K * T].reshape(K, T, power.shape[1])
+
+
+def mean_posterior(params, state, cfg, windows: np.ndarray) -> np.ndarray:
+    """Mean softmax posterior over all windows -> [n_spk]."""
+    logits, _ = jax.jit(
+        lambda p, s, x: spk_m.apply(p, s, x, cfg=cfg, train=False)
+    )(params, state, windows)
+    probs = jax.nn.softmax(np.asarray(logits, np.float32), axis=-1)
+    return np.asarray(probs.mean(axis=0))
+
+
+def verify_conversion(wav_true: np.ndarray, wav_pred: np.ndarray,
+                      spk_model_path: str, feat_cfg,
+                      target_spk_id: str | None = None, top_k: int = 3) -> dict:
+    """Classify source vs converted audio; report the posterior shift.
+
+    Returns a JSON-friendly report:
+      true_top / pred_top: [(spk_id, p), ...] highest mean posteriors,
+      identity_changed: argmax class moved,
+      target_p_true / target_p_pred: posterior mass on ``target_spk_id``
+        before/after conversion (when given),
+      target_hit: converted audio classifies as the target.
+    """
+    params, state, cfg, spk_id_v = load_speaker_model(spk_model_path)
+
+    post_true = mean_posterior(params, state, cfg,
+                               power_windows(wav_true, feat_cfg, cfg.n_timesteps))
+    post_pred = mean_posterior(params, state, cfg,
+                               power_windows(wav_pred, feat_cfg, cfg.n_timesteps))
+
+    def top(post):
+        idx = np.argsort(post)[::-1][:top_k]
+        return [(spk_id_v[i], float(post[i])) for i in idx]
+
+    report = {
+        "true_top": top(post_true),
+        "pred_top": top(post_pred),
+        "identity_changed": bool(int(post_true.argmax()) != int(post_pred.argmax())),
+    }
+    if target_spk_id is not None:
+        if target_spk_id in spk_id_v:
+            ti = spk_id_v.index(target_spk_id)
+            report["target_spk_id"] = target_spk_id
+            report["target_p_true"] = float(post_true[ti])
+            report["target_p_pred"] = float(post_pred[ti])
+            report["target_hit"] = bool(int(post_pred.argmax()) == ti)
+        else:
+            report["target_spk_id"] = target_spk_id
+            report["target_warning"] = "target speaker not in classifier classes"
+    return report
+
+
+def format_report(report: dict) -> str:
+    lines = [" speaker-ID verification:"]
+    lines.append("   source audio classifies as: "
+                 + ", ".join(f"{s}={p:.3f}" for s, p in report["true_top"]))
+    lines.append("   converted audio classifies as: "
+                 + ", ".join(f"{s}={p:.3f}" for s, p in report["pred_top"]))
+    lines.append(f"   identity changed: {report['identity_changed']}")
+    if "target_p_pred" in report:
+        lines.append(f"   posterior on target '{report['target_spk_id']}': "
+                     f"{report['target_p_true']:.3f} -> {report['target_p_pred']:.3f}"
+                     f" (target_hit={report['target_hit']})")
+    return "\n".join(lines)

@@ -67,6 +67,41 @@ def _unflatten(flat: dict):
     return out
 
 
+def _restore_like(tpl, ck, path: str = ""):
+    """Rebuild ``tpl``'s structure from checkpoint tree ``ck``, walking both
+    by key/index and failing loudly (with the path) on any mismatch."""
+    where = path or "<root>"
+    if isinstance(tpl, dict):
+        if not isinstance(ck, dict):
+            raise ValueError(f"checkpoint mismatch at {where}: "
+                             f"expected a dict, found {type(ck).__name__}")
+        missing = sorted(set(tpl) - set(ck))
+        extra = sorted(set(ck) - set(tpl))
+        if missing or extra:
+            raise ValueError(f"checkpoint mismatch at {where}: "
+                             f"missing keys {missing}, unexpected keys {extra}")
+        return {k: _restore_like(tpl[k], ck[k], f"{path}{k}{_SEP}") for k in tpl}
+    if isinstance(tpl, (list, tuple)):
+        if not isinstance(ck, (list, tuple)) or len(tpl) != len(ck):
+            raise ValueError(f"checkpoint mismatch at {where}: expected a "
+                             f"sequence of {len(tpl)}, found "
+                             f"{type(ck).__name__}"
+                             + (f" of {len(ck)}" if isinstance(ck, (list, tuple)) else ""))
+        vals = [_restore_like(t, c, f"{path}{i}{_SEP}")
+                for i, (t, c) in enumerate(zip(tpl, ck))]
+        if isinstance(tpl, tuple) and hasattr(tpl, "_fields"):  # NamedTuple
+            return type(tpl)(*vals)
+        return type(tpl)(vals) if isinstance(tpl, list) else tuple(vals)
+    # leaf: dtype comes from the template, shape must agree
+    arr = np.asarray(ck)
+    want_shape = tuple(getattr(tpl, "shape", np.shape(tpl)))
+    if tuple(arr.shape) != want_shape:
+        raise ValueError(f"checkpoint mismatch at {where}: shape "
+                         f"{tuple(arr.shape)} != template {want_shape}")
+    want_dtype = getattr(tpl, "dtype", None) or np.asarray(tpl).dtype
+    return arr.astype(want_dtype)
+
+
 class Checkpointer:
     """Save/restore/prune for a named model directory."""
 
@@ -141,19 +176,15 @@ class Checkpointer:
 
     def restore_into(self, template, step: int | None = None):
         """Restore into the exact pytree structure of ``template`` (dicts,
-        lists, NamedTuples like optax states) by positional leaf matching.
+        lists, NamedTuples like optax states), matching leaves by their
+        flattened path names — a structure mismatch (renamed param, changed
+        optimizer) raises with the offending path instead of silently
+        restoring the wrong leaf positionally.
         Returns (tree, step) or (template-unchanged, None)."""
         tree, step = self.restore(step)
         if tree is None:
             return template, None
-        ref_leaves, treedef = jax.tree.flatten(template)
-        new_leaves = jax.tree.leaves(tree)
-        if len(ref_leaves) != len(new_leaves):
-            raise ValueError(
-                f"checkpoint has {len(new_leaves)} leaves, template has {len(ref_leaves)}")
-        cast = [np.asarray(n).astype(np.asarray(r).dtype)
-                for r, n in zip(ref_leaves, new_leaves)]
-        return jax.tree.unflatten(treedef, cast), step
+        return _restore_like(template, tree), step
 
     # ------------------------------------------------------------- prune ---
 

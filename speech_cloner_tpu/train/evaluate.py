@@ -88,3 +88,40 @@ def eval_loss(dec_params, dec_state, sampler, *, enc_params, enc_state,
             print(f" - loss={m[0]:.3f} mel={m[1]:.3f} stft={m[2]:.3f}")
     m = np.mean(acc, axis=0) if acc else np.zeros(3)
     return float(m[0]), float(m[1]), float(m[2])
+
+
+def eval_confusion(params, state, sampler, *, cfg, max_batches: int | None = None):
+    """Streaming [n_out, n_out] confusion counts (rows=true, cols=pred) over a
+    (mfcc, phn_onehot) batch iterator — the reference rendered this as a
+    TensorBoard image (encoder.py:152-158); we accumulate the raw counts."""
+    from .metrics import confusion_matrix
+
+    fn = jax.jit(lambda xx, yy: confusion_matrix(
+        enc_m.apply(params, state, xx, cfg=cfg, train=False)[0], yy, cfg.n_output))
+    cm = np.zeros((cfg.n_output, cfg.n_output), np.float64)
+    for b, (mfcc, phn, *_) in enumerate(sampler):
+        cm += np.asarray(fn(jnp.asarray(mfcc), jnp.asarray(phn)))
+        if max_batches is not None and b + 1 >= max_batches:
+            break
+    return cm
+
+
+def top_confusions(cm: np.ndarray, idx2name: dict[int, str] | None = None,
+                   k: int = 10):
+    """Most-confused off-diagonal (true, pred) pairs with rates, from a
+    confusion-count matrix. Returns [(true, pred, count, rate_of_true), ...]."""
+    cm = np.asarray(cm, np.float64)
+    off = cm.copy()
+    np.fill_diagonal(off, 0.0)
+    row_tot = cm.sum(axis=1)
+    flat = np.argsort(off, axis=None)[::-1][:k]
+    out = []
+    for f in flat:
+        i, j = divmod(int(f), cm.shape[1])
+        if off[i, j] <= 0:
+            break
+        name_i = idx2name[i] if idx2name else str(i)
+        name_j = idx2name[j] if idx2name else str(j)
+        out.append((name_i, name_j, int(off[i, j]),
+                    float(off[i, j] / max(row_tot[i], 1.0))))
+    return out

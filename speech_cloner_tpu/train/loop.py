@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Iterator
 
+import numpy as np
+
 
 from ..data.prefetch import device_prefetch
 from ..runtime.checkpoint import Checkpointer
@@ -30,6 +32,7 @@ class LoopConfig:
     max_steps: int | None = None   # hard stop (tests / smoke runs)
     prefetch: int = 2
     batch_sharding: object = None  # e.g. parallel.batch_sharding(mesh)
+    val_batches_per_eval: int = 4  # mean/std over k batches, not 1 noisy one
 
 
 def run_training(
@@ -94,8 +97,17 @@ def run_training(
                     if ckpt is not None:
                         ckpt.save(ts, step=step, config=config_snapshot)
                     if val_iter is not None and eval_step is not None:
-                        vb = next(val_iter)
-                        vm = eval_step(ts, *vb)
+                        # k-batch validation: the reference hung best-ckpt
+                        # decisions on a single noisy batch (decoder.py:427);
+                        # we report mean and spread over k batches.
+                        vms = [eval_step(ts, *next(val_iter))
+                               for _ in range(max(loop_cfg.val_batches_per_eval, 1))]
+                        vm = {k: float(np.mean([float(m[k]) for m in vms]))
+                              for k in vms[0]}
+                        if len(vms) > 1:
+                            vm.update({f"{k}_std":
+                                       float(np.std([float(m[k]) for m in vms]))
+                                       for k in vms[0]})
                         if val_writer:
                             val_writer.write(step, vm)
                     if artifact_fn is not None:

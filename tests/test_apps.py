@@ -171,7 +171,18 @@ def test_train_full_pipeline(timit_root, arctic_root, tmp_path):
                "--target-kind", "arctic", "--spk-id", "slt", "--work-dir", work,
                "--ds-cfg", ds_cfg, "--enc-cfg", enc_cfg, "--dec-cfg", dec_cfg_p,
                "--batch-size", "2", "--enc-steps", "2", "--dec-steps", "2",
-               "--spk-steps", "2"])
+               "--spk-steps", "2", "--demo", "--n-iter", "4",
+               "--target-timit-spk", "ABC0"])
+    # stage 4 wrote the TESTS 1-3 artifacts + verification verdict
+    demo_report = os.path.join(work, "demo", "demo_report.json")
+    assert os.path.exists(demo_report)
+    rep = json.load(open(demo_report))
+    assert set(rep["tests"]) == {"test1_self_reconstruction",
+                                 "test2_target_speaker", "test3_other_speaker"}
+    assert all("mel_loss" in t for t in rep["tests"].values())
+    assert "identity_changed" in rep["verification"]
+    for t in rep["tests"]:
+        assert os.path.exists(os.path.join(work, "demo", t, "pred.wav"))
     for stage in ("enc_ckpt", "dec_ckpt", "spk_ckpt"):
         assert Checkpointer(os.path.join(work, stage),
                             stage.split("_")[0].replace("enc", "encoder")

@@ -136,12 +136,12 @@ def test_packed_banks_equal_separate_convs():
 
 # ----------------------------------------------- enc_14 end-to-end parity ---
 
-def _tf_encoder_forward(ckpt, x, num_banks=6, num_highway=1):
-    """Mirror of the reference encoder graph built from raw TF ops + keras GRU,
-    with the shipped enc_14 weights (encoder.py:94-111, modules.py)."""
-    r = tf.train.load_checkpoint(ckpt)
+def _tf_stack_forward(r, scope, x, num_banks, num_highway):
+    """Mirror of one reference prenet+CBHG+dense stack built from raw TF ops +
+    keras GRU, reading TF1-named weights from checkpoint reader ``r``
+    (encoder.py:94-111 and decoder.py:97-180 share this exact structure)."""
     g = lambda n: tf.constant(r.get_tensor(n))
-    x = tf.constant(x)
+    x = tf.constant(np.asarray(x))
 
     def dense(prefix, h, act=None):
         h = tf.matmul(h, g(f"{prefix}/kernel")) + g(f"{prefix}/bias")
@@ -155,37 +155,37 @@ def _tf_encoder_forward(ckpt, x, num_banks=6, num_highway=1):
         return y[:, 0]
 
     # prenet (dropout inactive at inference)
-    h = dense("encoder/prenet/dense1", x, tf.nn.relu)
-    h = dense("encoder/prenet/dense2", h, tf.nn.relu)
+    h = dense(f"{scope}/prenet/dense1", x, tf.nn.relu)
+    h = dense(f"{scope}/prenet/dense2", h, tf.nn.relu)
     prenet_out = h
 
     # conv banks: K separate convs, concat, shared BN + relu
-    outs = [tf.nn.conv1d(h, g("encoder/CBHG/conv1d_banks/conv1d/conv1d/kernel"),
+    outs = [tf.nn.conv1d(h, g(f"{scope}/CBHG/conv1d_banks/conv1d/conv1d/kernel"),
                          stride=1, padding="SAME")]
     for k in range(2, num_banks + 1):
         outs.append(tf.nn.conv1d(
-            h, g(f"encoder/CBHG/conv1d_banks/num_{k}/conv1d/conv1d/kernel"),
+            h, g(f"{scope}/CBHG/conv1d_banks/num_{k}/conv1d/conv1d/kernel"),
             stride=1, padding="SAME"))
     h = tf.concat(outs, axis=2)
-    h = tf.nn.relu(bn("encoder/CBHG/conv1d_banks/bn", h))
+    h = tf.nn.relu(bn(f"{scope}/CBHG/conv1d_banks/bn", h))
 
     h = tf.nn.max_pool1d(h, ksize=2, strides=1, padding="SAME")
-    h = tf.nn.conv1d(h, g("encoder/CBHG/conv1d_1/conv1d/kernel"), stride=1, padding="SAME")
-    h = tf.nn.relu(bn("encoder/CBHG/conv1d_1", h))
-    h = tf.nn.conv1d(h, g("encoder/CBHG/conv1d_2/conv1d/kernel"), stride=1, padding="SAME")
-    h = bn("encoder/CBHG/conv1d_2", h)
+    h = tf.nn.conv1d(h, g(f"{scope}/CBHG/conv1d_1/conv1d/kernel"), stride=1, padding="SAME")
+    h = tf.nn.relu(bn(f"{scope}/CBHG/conv1d_1", h))
+    h = tf.nn.conv1d(h, g(f"{scope}/CBHG/conv1d_2/conv1d/kernel"), stride=1, padding="SAME")
+    h = bn(f"{scope}/CBHG/conv1d_2", h)
     h = h + prenet_out
 
     for i in range(num_highway):
-        H_ = dense(f"encoder/CBHG/highwaynet_{i}/dense1", h, tf.nn.relu)
-        T_ = dense(f"encoder/CBHG/highwaynet_{i}/dense2", h, tf.nn.sigmoid)
+        H_ = dense(f"{scope}/CBHG/highwaynet_{i}/dense1", h, tf.nn.relu)
+        T_ = dense(f"{scope}/CBHG/highwaynet_{i}/dense2", h, tf.nn.sigmoid)
         h = H_ * T_ + h * (1.0 - T_)
 
     # bidirectional GRU with TF1-layout weights
-    units = r.get_tensor("encoder/CBHG/gru/bidirectional_rnn/fw/gru_cell/candidate/bias").shape[0]
+    units = r.get_tensor(f"{scope}/CBHG/gru/bidirectional_rnn/fw/gru_cell/candidate/bias").shape[0]
 
     def gru_params(d):
-        p = f"encoder/CBHG/gru/bidirectional_rnn/{d}/gru_cell"
+        p = f"{scope}/CBHG/gru/bidirectional_rnn/{d}/gru_cell"
         return {
             "gates_kernel": r.get_tensor(f"{p}/gates/kernel"),
             "gates_bias": r.get_tensor(f"{p}/gates/bias"),
@@ -197,7 +197,12 @@ def _tf_encoder_forward(ckpt, x, num_banks=6, num_highway=1):
     bw = _keras_gru_from_tf1(gru_params("bw"), units)(h.numpy()[:, ::-1]).numpy()[:, ::-1]
     h = tf.constant(np.concatenate([fw, bw], axis=2))
 
-    return dense("encoder/y_logits", h).numpy()
+    return dense(f"{scope}/y_logits", h).numpy()
+
+
+def _tf_encoder_forward(ckpt, x, num_banks=6, num_highway=1):
+    return _tf_stack_forward(tf.train.load_checkpoint(ckpt), "encoder", x,
+                             num_banks, num_highway)
 
 
 @pytest.mark.skipif(not os.path.exists(ENC14 + ".index"), reason="enc_14 ckpt absent")
@@ -303,3 +308,110 @@ def test_bidirectional_lstm_matches_keras():
     fw = _keras_lstm_from_tf1(params["fw"], H)(tf.constant(x)).numpy()
     bw = _keras_lstm_from_tf1(params["bw"], H)(tf.constant(x[:, ::-1])).numpy()[:, ::-1]
     np.testing.assert_allclose(mine, np.concatenate([fw, bw], 2), atol=1e-5)
+
+
+# ------------------------------------------- decoder TF-ckpt import parity ---
+#
+# The reference ships no decoder checkpoint, so load_tf_decoder's name mapping
+# (decoder.py:78-180 scopes) is pinned here by *constructing* a TF1 decoder
+# checkpoint with the reference's exact variable names, saving it with the TF1
+# Saver, importing it, and asserting y_mel/y_stft parity against a TF-op
+# mirror — the same recipe test_enc14_import_logits_parity uses for the
+# shipped encoder.
+
+BANK_FILTERS = 128  # conv1d_banks' un-forwarded embed_size default (modules.py:144)
+
+
+def _stack_var_values(rng, scope, in_dim, E, K, H, n_out):
+    """Numpy values for one prenet+CBHG+y_logits stack, keyed by the TF1
+    variable names the reference decoder graph creates."""
+    E2 = E // 2
+
+    def rand(*s, scale=0.3):
+        return (rng.standard_normal(s) * scale).astype(np.float32)
+
+    def bn_vars(prefix, c):
+        return {
+            f"{prefix}/gamma": (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32),
+            f"{prefix}/beta": rand(c, scale=0.1),
+            f"{prefix}/moving_mean": rand(c, scale=0.1),
+            f"{prefix}/moving_variance": (np.abs(rng.standard_normal(c)) + 0.5).astype(np.float32),
+        }
+
+    v = {
+        f"{scope}/prenet/dense1/kernel": rand(in_dim, E),
+        f"{scope}/prenet/dense1/bias": rand(E, scale=0.05),
+        f"{scope}/prenet/dense2/kernel": rand(E, E2),
+        f"{scope}/prenet/dense2/bias": rand(E2, scale=0.05),
+        f"{scope}/CBHG/conv1d_banks/conv1d/conv1d/kernel": rand(1, E2, BANK_FILTERS),
+        f"{scope}/CBHG/conv1d_1/conv1d/kernel": rand(3, BANK_FILTERS * K, E2, scale=0.05),
+        f"{scope}/CBHG/conv1d_2/conv1d/kernel": rand(3, E2, E2),
+        f"{scope}/y_logits/kernel": rand(E, n_out),
+        f"{scope}/y_logits/bias": rand(n_out, scale=0.05),
+    }
+    for k in range(2, K + 1):
+        v[f"{scope}/CBHG/conv1d_banks/num_{k}/conv1d/conv1d/kernel"] = \
+            rand(k, E2, BANK_FILTERS)
+    v.update(bn_vars(f"{scope}/CBHG/conv1d_banks/bn", BANK_FILTERS * K))
+    v.update(bn_vars(f"{scope}/CBHG/conv1d_1", E2))
+    v.update(bn_vars(f"{scope}/CBHG/conv1d_2", E2))
+    for i in range(H):
+        v[f"{scope}/CBHG/highwaynet_{i}/dense1/kernel"] = rand(E2, E2)
+        v[f"{scope}/CBHG/highwaynet_{i}/dense1/bias"] = rand(E2, scale=0.05)
+        v[f"{scope}/CBHG/highwaynet_{i}/dense2/kernel"] = rand(E2, E2)
+        v[f"{scope}/CBHG/highwaynet_{i}/dense2/bias"] = np.full(E2, -1.0, np.float32)
+    for d in ("fw", "bw"):
+        p = f"{scope}/CBHG/gru/bidirectional_rnn/{d}/gru_cell"
+        v[f"{p}/gates/kernel"] = rand(2 * E2, 2 * E2)
+        v[f"{p}/gates/bias"] = np.ones(2 * E2, np.float32)  # TF1 GRUCell default
+        v[f"{p}/candidate/kernel"] = rand(2 * E2, E2)
+        v[f"{p}/candidate/bias"] = rand(E2, scale=0.05)
+    return v
+
+
+def _save_tf1_ckpt(values: dict, prefix: str):
+    """Write values as a genuine TF1 Saver checkpoint (.index + .data)."""
+    g = tf.Graph()
+    with g.as_default():
+        tf1 = tf.compat.v1
+        var_map = {name: tf1.get_variable(name, initializer=tf.constant(val))
+                   for name, val in values.items()}
+        saver = tf1.train.Saver(var_list=var_map)
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, prefix, write_meta_graph=False)
+
+
+def test_decoder_tf_import_parity(tmp_path):
+    """load_tf_decoder's scope mapping, exercised against a real TF1-Saver
+    checkpoint of the full two-step decoder graph (decoder.py:97-180)."""
+    from speech_cloner_tpu.models import decoder as dec
+    from speech_cloner_tpu.runtime.tf_import import load_tf_decoder
+
+    T, IN = 30, 13
+    E1, K1, H1, OUT1 = 32, 3, 2, 10
+    E2, K2, H2, OUT2 = 48, 2, 1, 17
+    rng = np.random.default_rng(5)
+    values = {}
+    values.update(_stack_var_values(rng, "decoder/step1", IN, E1, K1, H1, OUT1))
+    values.update(_stack_var_values(rng, "decoder/step2", OUT1, E2, K2, H2, OUT2))
+
+    prefix = str(tmp_path / "decoder-123")
+    _save_tf1_ckpt(values, prefix)
+    assert os.path.exists(prefix + ".index")
+
+    cfg = dec.DecoderConfig(
+        n_timesteps=T, input_dim=IN,
+        step1=dec.DecoderStepConfig(E1, K1, H1, OUT1),
+        step2=dec.DecoderStepConfig(E2, K2, H2, OUT2))
+    params, state = load_tf_decoder(prefix, cfg)
+
+    ppg = (np.abs(RNG.standard_normal((2, T, IN))) * 0.2).astype(np.float32)
+    y_mel, y_stft, _ = dec.apply(params, state, jnp.asarray(ppg), cfg=cfg, train=False)
+
+    r = tf.train.load_checkpoint(prefix)
+    ref_mel = _tf_stack_forward(r, "decoder/step1", ppg, K1, H1)
+    ref_stft = _tf_stack_forward(r, "decoder/step2", ref_mel, K2, H2)
+
+    np.testing.assert_allclose(np.asarray(y_mel), ref_mel, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_stft), ref_stft, atol=2e-3)
