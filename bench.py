@@ -70,12 +70,20 @@ def main():
     wav_p = jnp.asarray(np.pad(wav, (0, pad)))
     key = jax.random.PRNGKey(0)
 
+    import dataclasses
+
+    # fast vocoder variant: Fast Griffin-Lim (momentum 0.99) needs only 25
+    # iterations to beat the reference algorithm at 200 (docs/DESIGN.md
+    # convergence table) — published alongside the 200-iter parity number
+    pipe_fast = dataclasses.replace(pipe, n_iter=25, gl_momentum=0.99)
+
     predict_fn = jax.jit(pipe.device_predict)
     vocode_fn = jax.jit(pipe.device_vocode_pcm16)
+    vocode_fast_fn = jax.jit(pipe_fast.device_vocode_pcm16)
 
-    def run(w, k):
+    def run(w, k, fast=False):
         mel_pred, stft_pred, ppg = predict_fn(w)
-        wav_pcm16 = vocode_fn(stft_pred, k)
+        wav_pcm16 = (vocode_fast_fn if fast else vocode_fn)(stft_pred, k)
         # hard host fetch: on this remote-tunnel runtime block_until_ready
         # can return before completion, so timing must include materializing
         # the output (int16 PCM — the file/wire format — at half the bytes)
@@ -84,21 +92,28 @@ def main():
     log("compiling...")
     t0 = time.perf_counter()
     out = run(wav_p, key)
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    log(f"compile+first run (parity-200): {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    out_f = run(wav_p, key, fast=True)
+    log(f"compile+first run (fast-GL-25): {time.perf_counter() - t0:.2f}s")
 
-    n_runs = 5
-    times = []
-    for i in range(n_runs):
-        k = jax.random.PRNGKey(i + 1)  # vary inputs: defeat any result caching
-        t0 = time.perf_counter()
-        out = run(wav_p, k)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    def bench(fast):
+        times = []
+        for i in range(5):
+            k = jax.random.PRNGKey(i + 1)  # vary inputs: defeat result caching
+            t0 = time.perf_counter()
+            out = run(wav_p, k, fast=fast)
+            times.append(time.perf_counter() - t0)
+        return min(times), out
+
+    best, out = bench(fast=False)
+    best_fast, _ = bench(fast=True)
     rtf = best / dur_s
+    rtf_fast = best_fast / dur_s
     frames = out[1].shape[0]
     mel_fps = frames / best
-    log(f"times: {[f'{x:.3f}' for x in times]} -> best {best:.3f}s, "
-        f"rtf {rtf:.5f}, mel frames/s {mel_fps:.0f}")
+    log(f"parity-200: best {best:.3f}s rtf {rtf:.5f}, mel frames/s {mel_fps:.0f}; "
+        f"fast-GL-25: best {best_fast:.3f}s rtf {rtf_fast:.5f}")
 
     print(json.dumps({
         "metric": "e2e_conversion_rtf",
@@ -110,6 +125,10 @@ def main():
             "clip_seconds": dur_s,
             "griffin_lim_iters": pipe.n_iter,
             "best_wall_s": best,
+            "fast_gl_rtf": rtf_fast,
+            "fast_gl_iters": pipe_fast.n_iter,
+            "fast_gl_momentum": pipe_fast.gl_momentum,
+            "fast_gl_best_wall_s": best_fast,
             "backend": jax.default_backend(),
             "encoder_weights": "enc_14_ckpt" if enc_ckpt else "random",
         },

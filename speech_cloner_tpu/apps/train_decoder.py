@@ -68,6 +68,12 @@ def main(argv=None):
     ap.add_argument("--prop-val", type=float, default=0.02)
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bn-recal", type=int, default=8,
+                    help="recalibrate BN moving stats over k train batches "
+                         "before each validation/save (0 = reference behavior)")
+    ap.add_argument("--loader", choices=("auto", "h5py", "native"), default="auto",
+                    help="batch assembly: C++ mmap gather or per-step h5py "
+                         "reads; auto = native when the .so builds")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -109,6 +115,20 @@ def main(argv=None):
     steps_per_epoch = max(n_trn // args.batch_size, 1)
     print(f" n_windows_trn={n_trn}  steps/epoch={steps_per_epoch}")
 
+    # a val split smaller than one batch can never yield; validate on train
+    # data instead of hanging (the reference's split had the same failure
+    # mode silently — sound_ds.py:268-283)
+    import numpy as np
+
+    f = ds.get_ds_filter(ds_filter_d) if ds_filter_d else np.ones(
+        len(ds.ds["wav"]), bool)
+    n_val_utts = len(ds._val_split(np.flatnonzero(f), args.prop_val, False))
+    val_sample_trn = False
+    if n_val_utts < args.batch_size:
+        print(f" WARNING: val split has {n_val_utts} utterances < batch "
+              f"{args.batch_size}; validating on train data")
+        val_sample_trn = True
+
     params, state = dec_m.init(jax.random.PRNGKey(args.seed), cfg)
     ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
     opt = opt_cfg.make()
@@ -120,13 +140,40 @@ def main(argv=None):
         t["params"], t["model_state"], x, m, s, enc_params=enc_params,
         enc_state=enc_state, enc_cfg=enc_cfg, cfg=cfg, loss_cfg=loss_cfg))
 
+    use_native = False
+    if args.loader != "h5py":
+        from ..data.packed_cache import ensure_native
+
+        use_native = ensure_native() is not None
+        if args.loader == "native" and not use_native:
+            raise SystemExit("error: --loader native but libscl_data.so "
+                             "could not be built")
+
     def batches(sample_trn):
+        kw = dict(batch_size=args.batch_size, n_epochs=1, sample_trn=sample_trn,
+                  prop_val=args.prop_val,
+                  **({"ds_filter_d": ds_filter_d} if ds_filter_d is not None else {}))
+        sampler = (ds.packed_spec_window_sampler if use_native
+                   else ds.spec_window_sampler)
+
         def gen():
-            yield from ds.spec_window_sampler(
-                batch_size=args.batch_size, n_epochs=1, sample_trn=sample_trn,
-                prop_val=args.prop_val,
-                **({"ds_filter_d": ds_filter_d} if ds_filter_d is not None else {}))
+            yield from sampler(**kw)
         return gen
+
+    def bn_recalibrate(ts_now):
+        from ..train.bn_recal import collect_bn_state
+
+        def state_fn(mfcc, mel, stft):
+            logits, _ = enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg,
+                                    train=False)
+            _, _, st = dec_m.apply(ts_now["params"], ts_now["model_state"],
+                                   enc_m.posteriors(logits), cfg=cfg, train=True,
+                                   rng=jax.random.PRNGKey(0))
+            return st
+
+        new_state = collect_bn_state(state_fn, batches(True)(),
+                                     max_batches=args.bn_recal)
+        return {**ts_now, "model_state": new_state}
 
     def spec_artifacts(ts_now, step_now):
         """Dump a val-batch true/pred spectrogram comparison png, the TB-image
@@ -147,7 +194,7 @@ def main(argv=None):
     run_training(
         ts,
         train_batches=batches(True),
-        val_batches=batches(False),
+        val_batches=batches(True) if val_sample_trn else batches(False),
         train_step=step,
         eval_step=ev,
         loop_cfg=LoopConfig(n_epochs=args.n_epochs, steps_per_epoch=steps_per_epoch,
@@ -157,6 +204,7 @@ def main(argv=None):
         log_dir=args.log_dir,
         config_snapshot={"ds": ds_cfg_d},
         artifact_fn=spec_artifacts,
+        pre_eval_fn=bn_recalibrate if args.bn_recal else None,
     )
 
 

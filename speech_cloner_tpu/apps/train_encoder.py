@@ -53,6 +53,15 @@ def main(argv=None):
                     help="data-parallel mesh size (0 = single device)")
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel mesh size (conv banks)")
+    ap.add_argument("--bn-recal", type=int, default=8,
+                    help="recalibrate BN moving stats over k train batches "
+                         "before each validation/save; 0 = reference "
+                         "moving-average-only behavior (decay 0.999, which "
+                         "lags eval metrics by thousands of steps)")
+    ap.add_argument("--loader", choices=("auto", "h5py", "native"), default="auto",
+                    help="batch assembly: the C++ mmap gather (native/scl_data.cc)"
+                         " or per-step h5py reads; auto = native when the .so "
+                         "builds")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -73,6 +82,44 @@ def main(argv=None):
     ds = TIMIT(args.ds_path, feat_cfg, n_timesteps=cfg.n_timesteps,
                ds_norm=tuple(ds_cfg_d.get("ds_norm", (0.0, 10.0))), verbose=True)
     ds.build_spec_cache("phn_mfcc_cache.h5py")
+
+    use_native = False
+    if args.loader != "h5py":
+        from ..data.packed_cache import ensure_native
+
+        use_native = ensure_native() is not None
+        if args.loader == "native" and not use_native:
+            raise SystemExit("error: --loader native but libscl_data.so "
+                             "could not be built")
+    if use_native:
+        pack_path = ds.build_packed_cache("phn_mfcc_cache.h5py")
+        print(f" native loader: {pack_path}")
+
+    def window_batches(ds_filter_d):
+        """(mfcc, phn) window batches; native mmap gather when available
+        (streams 0=mfcc, 3=phn in the .sclpack mirror)."""
+        if not use_native:
+            return lambda: ds.window_sampler(
+                batch_size=args.batch_size, n_epochs=1,
+                ds_filter_d=ds_filter_d, base_name="phn_mfcc_cache.h5py")
+
+        def gen():
+            import numpy as np
+
+            from ..data.packed_cache import PackedReader, packed_window_sampler
+
+            reader = PackedReader(pack_path, n_threads=8)
+            try:
+                samples = np.flatnonzero(ds.get_ds_filter(ds_filter_d))
+                # skip_short semantics of window_sampler (TIMIT_reader.py:474)
+                samples = samples[reader.n_frames[samples] > cfg.n_timesteps]
+                yield from packed_window_sampler(
+                    reader, batch_size=args.batch_size,
+                    n_timesteps=cfg.n_timesteps, streams=(0, 3),
+                    samples=samples, n_epochs=1, rng=ds.rng)
+            finally:
+                reader.close()
+        return gen
 
     n_trn = int(ds.get_ds_filter({"ds_type": "TRAIN"}).sum())
     steps_per_epoch = max(n_trn // args.batch_size, 1)
@@ -98,6 +145,20 @@ def main(argv=None):
     ev = jax.jit(lambda t, x, y: encoder_eval_step(t["params"], t["model_state"],
                                                    x, y, cfg=cfg))
 
+    def bn_recalibrate(ts_now):
+        from ..train.bn_recal import collect_bn_state
+
+        def state_fn(x, y):
+            _, st = enc_m.apply(ts_now["params"], ts_now["model_state"], x,
+                                cfg=cfg, train=True, rng=jax.random.PRNGKey(0))
+            return st
+
+        batches = ds.window_sampler(batch_size=args.batch_size, n_epochs=1,
+                                    ds_filter_d={"ds_type": "TRAIN"},
+                                    base_name="phn_mfcc_cache.h5py")
+        new_state = collect_bn_state(state_fn, batches, max_batches=args.bn_recal)
+        return {**ts_now, "model_state": new_state}
+
     def confusion_artifact(ts_now, step_now):
         """Validation confusion matrix at save cadence — the reference's
         TensorBoard confusion image (encoder.py:152-158) as an .npy artifact
@@ -118,12 +179,8 @@ def main(argv=None):
 
     run_training(
         ts,
-        train_batches=lambda: ds.window_sampler(
-            batch_size=args.batch_size, n_epochs=1,
-            ds_filter_d={"ds_type": "TRAIN"}, base_name="phn_mfcc_cache.h5py"),
-        val_batches=lambda: ds.window_sampler(
-            batch_size=args.batch_size, n_epochs=1,
-            ds_filter_d={"ds_type": "TEST"}, base_name="phn_mfcc_cache.h5py"),
+        train_batches=window_batches({"ds_type": "TRAIN"}),
+        val_batches=window_batches({"ds_type": "TEST"}),
         train_step=step,
         eval_step=ev,
         loop_cfg=LoopConfig(n_epochs=args.n_epochs, steps_per_epoch=steps_per_epoch,
@@ -134,6 +191,7 @@ def main(argv=None):
         config_snapshot={"ds": ds_cfg_d, "model": json.loads(json.dumps(
             cfg, default=lambda o: o.__dict__))},
         artifact_fn=confusion_artifact,
+        pre_eval_fn=bn_recalibrate if args.bn_recal else None,
     )
 
 

@@ -45,6 +45,7 @@ def main(argv=None):
     ap.add_argument("--spk-steps", type=int, default=None)
     ap.add_argument("--enc-epochs", type=int, default=50)
     ap.add_argument("--dec-epochs", type=int, default=300)
+    ap.add_argument("--dec-prop-val", type=float, default=0.02)
     ap.add_argument("--demo", action="store_true",
                     help="stage 4: TESTS 1-3 clone demo + speaker-ID verdict")
     ap.add_argument("--demo-source-spk", default="bdl")
@@ -86,6 +87,7 @@ def main(argv=None):
                 "--model-path", dec_path,
                 "--log-dir", os.path.join(args.work_dir, "dec_logs"),
                 "--batch-size", str(args.batch_size),
+                "--prop-val", str(args.dec_prop_val),
                 "--n-epochs", str(args.dec_epochs)] + common_ds
     if args.enc_cfg:
         dec_args += ["--enc-cfg", args.enc_cfg]

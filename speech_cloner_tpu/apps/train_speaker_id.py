@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--n-epochs", type=int, default=1000)
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bn-recal", type=int, default=8,
+                    help="recalibrate BN moving stats over k train batches "
+                         "before each checkpoint save (0 = moving-average only)")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -75,6 +78,26 @@ def main(argv=None):
     # snapshot the speaker-class mapping so verify_conversion can name classes
     cfg_snapshot = {"n_timesteps": cfg.n_timesteps, "n_features": cfg.n_features,
                     "n_output": cfg.n_output, "spk_id_v": list(ds.all_spk_id_v)}
+
+    def recal(ts_now):
+        """Replace laggy 0.999-decay BN moving stats with averaged batch stats
+        before checkpointing (see train/bn_recal.py)."""
+        if not args.bn_recal:
+            return ts_now
+        from ..train.bn_recal import collect_bn_state
+
+        def state_fn(x, y):
+            _, st = spk_m.apply(ts_now["params"], ts_now["model_state"], x,
+                                cfg=cfg, train=True)
+            return st
+
+        batches = ((p, c) for _, _, p, c in ds.speaker_spec_sampler(
+            args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
+            base_name="phn_mfcc_cache.h5py"))
+        return {**ts_now,
+                "model_state": collect_bn_state(state_fn, batches,
+                                                max_batches=args.bn_recal)}
+
     val_iter = val_stream()
     best_val, val_hist = 0.0, []
     i_step = 0
@@ -89,15 +112,17 @@ def main(argv=None):
             if i_step % 10 == 0:
                 print(f" - step={i_step} trn_loss={float(m['loss']):.3f} "
                       f"trn_acc={float(m['acc']):.3f} val_acc={val_hist[-1]:.3f}")
-            # best-weights tracking over a 10-step window (voice_identification.py:217-221)
-            if len(val_hist) > 10 and float(np.mean(val_hist[-10:])) > best_val:
+            # best-weights tracking over a 10-step window (voice_identification.py:217-221);
+            # checked every 5 steps since each save now recalibrates BN
+            if (len(val_hist) > 10 and i_step % 5 == 0
+                    and float(np.mean(val_hist[-10:])) > best_val):
                 best_val = float(np.mean(val_hist[-10:]))
-                ckpt.save(ts, step=i_step, config=cfg_snapshot)
+                ckpt.save(recal(ts), step=i_step, config=cfg_snapshot)
             i_step += 1
             if args.max_steps is not None and i_step >= args.max_steps:
-                ckpt.save(ts, step=i_step, config=cfg_snapshot, sync=True)
+                ckpt.save(recal(ts), step=i_step, config=cfg_snapshot, sync=True)
                 return
-    ckpt.save(ts, step=i_step, config=cfg_snapshot, sync=True)
+    ckpt.save(recal(ts), step=i_step, config=cfg_snapshot, sync=True)
 
 
 if __name__ == "__main__":

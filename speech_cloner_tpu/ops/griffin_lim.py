@@ -32,6 +32,7 @@ def griffin_lim(
     key=None,
     init_phase=None,
     momentum: float = 0.0,
+    unroll: int = 1,
 ):
     """Phase reconstruction from a time-major magnitude spectrogram [T, F].
 
@@ -45,6 +46,11 @@ def griffin_lim(
     is extrapolated by momentum*(P_t - P_{t-1}) before the phase is reused —
     markedly better convergence at the same iteration count. 0.0 reproduces
     the reference exactly; ~0.99 is a good setting.
+
+    ``unroll`` replicates the loop body k times per fori_loop iteration to
+    amortize the runtime's fixed per-iteration dispatch cost (identical
+    math; num_iters-1 must stay divisible by it to reproduce the reference
+    count — it is rounded down to the nearest divisor otherwise).
     """
     if n_fft is None:
         n_fft = win_length
@@ -70,19 +76,28 @@ def griffin_lim(
         mag = jnp.abs(S)
         return stft_amp * (S / jnp.maximum(mag, jnp.finfo(jnp.float32).tiny))
 
+    n_body = max(num_iters - 1, 0)
+    k = max(1, min(unroll, n_body) if n_body else 1)
+    while n_body % k:
+        k -= 1
+
     if momentum == 0.0:
         def body(_, S):
-            return replace_magnitude(project(S))
+            for _ in range(k):
+                S = replace_magnitude(project(S))
+            return S
 
-        S = jax.lax.fori_loop(0, max(num_iters - 1, 0), body, S0)
+        S = jax.lax.fori_loop(0, n_body // k, body, S0)
     else:
         def body(_, carry):
             S, P_prev = carry
-            P = project(S)
-            extrap = P + momentum * (P - P_prev)
-            return replace_magnitude(extrap), P
+            for _ in range(k):
+                P = project(S)
+                extrap = P + momentum * (P - P_prev)
+                S, P_prev = replace_magnitude(extrap), P
+            return S, P_prev
 
-        S, _ = jax.lax.fori_loop(0, max(num_iters - 1, 0), body,
+        S, _ = jax.lax.fori_loop(0, n_body // k, body,
                                  (S0, jnp.zeros_like(S0)))
     return istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
                  window=window, xp=jnp)
@@ -100,6 +115,7 @@ def from_power_to_wav(
     realse: float = 1.0,
     key=None,
     momentum: float = 0.0,
+    unroll: int = 1,
 ):
     """Normalized power_dB map [T, n_stft] -> waveform, entirely on device."""
     P = jnp.maximum(0.0, P)
@@ -111,7 +127,7 @@ def from_power_to_wav(
 
     F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
     y = griffin_lim(F, win_length, hop_length, num_iters=n_iter, n_fft=n_fft,
-                    key=key, momentum=momentum)
+                    key=key, momentum=momentum, unroll=unroll)
 
     if pre_emphasis != 0.0:
         y = inv_preemphasis(y, pre_emphasis)

@@ -21,9 +21,13 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> bool:
     """Initialize jax.distributed when running multi-process; returns True if
-    a multi-process runtime is active afterwards."""
-    if jax.process_count() > 1:
-        return True
+    a multi-process runtime is active afterwards.
+
+    Must run before anything touches the XLA backend — including
+    jax.process_count()/jax.devices() — so the already-initialized check uses
+    jax.distributed.is_initialized(), not a device query."""
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if coordinator_address is None:
         return False  # single-process run
     jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -83,6 +83,12 @@ def bigru_warmup(params, x, warmup: int, axis_name: str):
 
     Each device scans [warmup-from-left + local] forward and
     [local + warmup-from-right] backward, keeping only the local outputs.
+
+    Global edges are EXACT: the first (last) device's fw (bw) scan must start
+    from h=0 at the true sequence start like the unsharded scan — scanning the
+    zero-filled halo first would enter the real frames with a drifted state
+    (measured: ppg error up to 0.77 in the first ~20 frames at any warmup).
+    The head/tail is recomputed from h=0 and spliced in on the edge devices.
     """
     T_loc = x.shape[1]
     if warmup > T_loc:
@@ -93,6 +99,20 @@ def bigru_warmup(params, x, warmup: int, axis_name: str):
     bw_in = xw[:, warmup:, :]
     fw = M._gru_dir_apply(params["fw"], fw_in)[:, warmup:, :]
     bw = M._gru_dir_apply(params["bw"], bw_in[:, ::-1, :])[:, ::-1, :][:, :T_loc, :]
+
+    if warmup > 0:
+        idx = jax.lax.axis_index(axis_name)
+        n = jax.lax.axis_size(axis_name)
+        # exact h=0 head for the first device / tail for the last device
+        fw_head = M._gru_dir_apply(params["fw"], x[:, :warmup, :])
+        bw_tail = M._gru_dir_apply(params["bw"], x[:, -warmup:, :][:, ::-1, :])[:, ::-1, :]
+        first = (idx == 0)
+        last = (idx == n - 1)
+        fw = jnp.concatenate(
+            [jnp.where(first, fw_head, fw[:, :warmup, :]), fw[:, warmup:, :]], axis=1)
+        bw = jnp.concatenate(
+            [bw[:, : T_loc - warmup, :],
+             jnp.where(last, bw_tail, bw[:, T_loc - warmup:, :])], axis=1)
     return jnp.concatenate([fw, bw], axis=2)
 
 

@@ -47,6 +47,7 @@ def run_training(
     config_snapshot: dict | None = None,
     on_epoch: Callable[[dict, int], None] | None = None,
     artifact_fn: Callable[[dict, int], None] | None = None,
+    pre_eval_fn: Callable[[dict], dict] | None = None,
 ) -> dict:
     """Run the training loop; returns the final TrainState.
 
@@ -67,7 +68,15 @@ def run_training(
     if val_batches is not None:
         def fresh_val():
             while True:
-                yield from val_batches()
+                got = False
+                for b in val_batches():
+                    got = True
+                    yield b
+                if not got:
+                    raise RuntimeError(
+                        "validation stream yielded no batches — val split "
+                        "smaller than one batch? (lower batch size or raise "
+                        "prop_val)")
         val_iter = fresh_val()
 
     stop = False
@@ -94,6 +103,10 @@ def run_training(
                     on_epoch(ts, epoch)
 
                 if epoch % loop_cfg.save_each_n_epochs == 0:
+                    if pre_eval_fn is not None:
+                        # e.g. BN recalibration: fix up inference-only state
+                        # before it is validated and checkpointed
+                        ts = pre_eval_fn(ts)
                     if ckpt is not None:
                         ckpt.save(ts, step=step, config=config_snapshot)
                     if val_iter is not None and eval_step is not None:
@@ -128,6 +141,8 @@ def run_training(
             continue
         break
 
+    if pre_eval_fn is not None:
+        ts = pre_eval_fn(ts)
     if ckpt is not None:
         ckpt.save(ts, step=int(ts["step"]), config=config_snapshot, sync=True)
     for w in (trn_writer, val_writer):

@@ -320,3 +320,22 @@ def test_stft_nfft_larger_than_window():
                                      n_fft=512, xp=xp))
         n = min(len(y), len(y_rec))
         np.testing.assert_allclose(y_rec[512:n-512], y[512:n-512], atol=5e-3)
+
+
+def test_griffin_lim_unroll_is_identical():
+    """unroll replicates the loop body only — bit-identical reconstruction
+    (ops/griffin_lim.py; the knob exists to amortize the runtime's fixed
+    per-while-iteration dispatch cost, docs/DESIGN.md)."""
+    import jax
+
+    from speech_cloner_tpu.ops.griffin_lim import griffin_lim
+
+    amp = jnp.asarray(np.abs(RNG.standard_normal((60, 201))).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    for momentum in (0.0, 0.99):
+        y1 = np.asarray(griffin_lim(amp, 400, 80, num_iters=9, n_fft=400,
+                                    key=key, momentum=momentum, unroll=1))
+        for k in (3, 5, 8):  # 5 rounds down to divisor 4
+            yk = np.asarray(griffin_lim(amp, 400, 80, num_iters=9, n_fft=400,
+                                        key=key, momentum=momentum, unroll=k))
+            np.testing.assert_array_equal(y1, yk)

@@ -183,3 +183,42 @@ def test_distributed_matches_single_device():
 
     np.testing.assert_allclose(float(m_dist["loss"]), float(m_single["loss"]), rtol=1e-4)
     np.testing.assert_allclose(float(m_dist["mel_loss"]), float(m_single["mel_loss"]), rtol=1e-4)
+
+
+def test_bn_recalibration_collects_true_batch_stats():
+    """collect_bn_state must replace the 0.999-decay moving stats with the
+    average of the TRUE batch statistics (train/bn_recal.py). At production
+    geometry the moving average lags eval metrics by thousands of steps
+    (demo run: eval acc 0.02 with moving stats vs 0.91 with batch stats at
+    step 780 — docs/DESIGN.md 'BN recalibration'); this pins the mechanism.
+    """
+    from speech_cloner_tpu.nn import modules as M
+    from speech_cloner_tpu.train.bn_recal import collect_bn_state
+
+    C = 8
+    bn_params, bn_state = M.bn_init(C)
+    bn_state = {"mean": jnp.full((C,), 7.0), "var": jnp.full((C,), 9.0)}  # stale
+
+    def state_fn(x):
+        _, st = M.bn_apply(bn_params, bn_state, x, train=True)
+        return st
+
+    batches = [(jnp.asarray(RNG.standard_normal((4, 10, C)) * (i + 1) + i,
+                            jnp.float32),) for i in range(3)]
+    new_state = collect_bn_state(state_fn, iter(batches), max_batches=3)
+
+    # expected: plain average of each batch's true mean/var — no trace of the
+    # stale moving stats or the 0.999 momentum
+    exp_mean = np.mean([np.asarray(b[0]).mean(axis=(0, 1)) for b in batches], axis=0)
+    exp_var = np.mean([np.asarray(b[0]).var(axis=(0, 1)) for b in batches], axis=0)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]), exp_mean, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["var"]), exp_var, rtol=1e-5)
+
+    # eval with recalibrated stats normalizes a matching batch correctly
+    y, _ = M.bn_apply(bn_params, new_state, batches[1][0], train=False)
+    assert abs(float(jnp.mean(y))) < 1.5  # vs wildly off with the stale stats
+    y_stale, _ = M.bn_apply(bn_params, bn_state, batches[1][0], train=False)
+    assert abs(float(jnp.mean(y_stale))) > abs(float(jnp.mean(y)))
+
+    # the momentum constant is restored after recalibration
+    assert M.BN_MOMENTUM == 0.999
