@@ -160,20 +160,27 @@ def main(argv=None):
             yield from sampler(**kw)
         return gen
 
+    # jitted once — a fresh jit (or an eager forward) per save costs a full
+    # remote compile / op-by-op dispatch on this runtime
+    from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
+
+    bn_stat_fn = make_bn_stat_fn(
+        lambda p, s, mfcc, mel, stft: dec_m.apply(
+            p, s, enc_m.posteriors(
+                enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg,
+                            train=False)[0]),
+            cfg=cfg, train=True, rng=jax.random.PRNGKey(0))[2])
+
     def bn_recalibrate(ts_now):
-        from ..train.bn_recal import collect_bn_state
-
-        def state_fn(mfcc, mel, stft):
-            logits, _ = enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg,
-                                    train=False)
-            _, _, st = dec_m.apply(ts_now["params"], ts_now["model_state"],
-                                   enc_m.posteriors(logits), cfg=cfg, train=True,
-                                   rng=jax.random.PRNGKey(0))
-            return st
-
-        new_state = collect_bn_state(state_fn, batches(True)(),
+        new_state = collect_bn_state(bn_stat_fn, ts_now["params"],
+                                     ts_now["model_state"], batches(True)(),
                                      max_batches=args.bn_recal)
         return {**ts_now, "model_state": new_state}
+
+    artifact_fwd = jax.jit(lambda p, s, mfcc: dec_m.apply(
+        p, s, enc_m.posteriors(enc_m.apply(enc_params, enc_state, mfcc,
+                                           cfg=enc_cfg, train=False)[0]),
+        cfg=cfg, train=False)[:2])
 
     def spec_artifacts(ts_now, step_now):
         """Dump a val-batch true/pred spectrogram comparison png, the TB-image
@@ -182,10 +189,8 @@ def main(argv=None):
             mfcc, mel, stft = next(iter(batches(False)()))[:3]
         except StopIteration:
             return
-        logits, _ = enc_m.apply(enc_params, enc_state, mfcc[:1], cfg=enc_cfg,
-                                train=False)
-        y_mel, y_stft, _ = dec_m.apply(ts_now["params"], ts_now["model_state"],
-                                       enc_m.posteriors(logits), cfg=cfg, train=False)
+        y_mel, y_stft = artifact_fwd(ts_now["params"], ts_now["model_state"],
+                                     mfcc[:1])
         from ..data.viz import spec_comparison
 
         spec_comparison(mel[0], y_mel[0], stft[0], y_stft[0],

@@ -145,18 +145,18 @@ def main(argv=None):
     ev = jax.jit(lambda t, x, y: encoder_eval_step(t["params"], t["model_state"],
                                                    x, y, cfg=cfg))
 
+    # jitted once — a fresh jit per save costs a full remote compile here
+    from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
+
+    bn_stat_fn = make_bn_stat_fn(
+        lambda p, s, x, y: enc_m.apply(p, s, x, cfg=cfg, train=True,
+                                       rng=jax.random.PRNGKey(0))[1])
+
     def bn_recalibrate(ts_now):
-        from ..train.bn_recal import collect_bn_state
-
-        def state_fn(x, y):
-            _, st = enc_m.apply(ts_now["params"], ts_now["model_state"], x,
-                                cfg=cfg, train=True, rng=jax.random.PRNGKey(0))
-            return st
-
-        batches = ds.window_sampler(batch_size=args.batch_size, n_epochs=1,
-                                    ds_filter_d={"ds_type": "TRAIN"},
-                                    base_name="phn_mfcc_cache.h5py")
-        new_state = collect_bn_state(state_fn, batches, max_batches=args.bn_recal)
+        batches = window_batches({"ds_type": "TRAIN"})()
+        new_state = collect_bn_state(bn_stat_fn, ts_now["params"],
+                                     ts_now["model_state"], batches,
+                                     max_batches=args.bn_recal)
         return {**ts_now, "model_state": new_state}
 
     def confusion_artifact(ts_now, step_now):
@@ -166,9 +166,7 @@ def main(argv=None):
         from ..runtime.logging import MetricsWriter
         from ..train.evaluate import eval_confusion, top_confusions
 
-        sampler = ds.window_sampler(batch_size=args.batch_size, n_epochs=1,
-                                    ds_filter_d={"ds_type": "TEST"},
-                                    base_name="phn_mfcc_cache.h5py")
+        sampler = window_batches({"ds_type": "TEST"})()
         cm = eval_confusion(ts_now["params"], ts_now["model_state"], sampler,
                             cfg=cfg, max_batches=8)
         MetricsWriter(args.log_dir, "val").write_array(step_now, "confusion", cm)

@@ -79,23 +79,22 @@ def main(argv=None):
     cfg_snapshot = {"n_timesteps": cfg.n_timesteps, "n_features": cfg.n_features,
                     "n_output": cfg.n_output, "spk_id_v": list(ds.all_spk_id_v)}
 
+    from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
+
+    bn_stat_fn = make_bn_stat_fn(
+        lambda p, s, x: spk_m.apply(p, s, x, cfg=cfg, train=True)[1])
+
     def recal(ts_now):
         """Replace laggy 0.999-decay BN moving stats with averaged batch stats
         before checkpointing (see train/bn_recal.py)."""
         if not args.bn_recal:
             return ts_now
-        from ..train.bn_recal import collect_bn_state
-
-        def state_fn(x, y):
-            _, st = spk_m.apply(ts_now["params"], ts_now["model_state"], x,
-                                cfg=cfg, train=True)
-            return st
-
-        batches = ((p, c) for _, _, p, c in ds.speaker_spec_sampler(
+        batches = ((p,) for _, _, p, c in ds.speaker_spec_sampler(
             args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
             base_name="phn_mfcc_cache.h5py"))
         return {**ts_now,
-                "model_state": collect_bn_state(state_fn, batches,
+                "model_state": collect_bn_state(bn_stat_fn, ts_now["params"],
+                                                ts_now["model_state"], batches,
                                                 max_batches=args.bn_recal)}
 
     val_iter = val_stream()

@@ -90,17 +90,26 @@ def eval_loss(dec_params, dec_state, sampler, *, enc_params, enc_state,
     return float(m[0]), float(m[1]), float(m[2])
 
 
+_CONFUSION_FNS: dict = {}
+
+
 def eval_confusion(params, state, sampler, *, cfg, max_batches: int | None = None):
     """Streaming [n_out, n_out] confusion counts (rows=true, cols=pred) over a
     (mfcc, phn_onehot) batch iterator — the reference rendered this as a
-    TensorBoard image (encoder.py:152-158); we accumulate the raw counts."""
+    TensorBoard image (encoder.py:152-158); we accumulate the raw counts.
+
+    The jitted kernel is cached per config (params/state are traced args) so
+    repeated calls at save cadence don't recompile."""
     from .metrics import confusion_matrix
 
-    fn = jax.jit(lambda xx, yy: confusion_matrix(
-        enc_m.apply(params, state, xx, cfg=cfg, train=False)[0], yy, cfg.n_output))
+    fn = _CONFUSION_FNS.get(cfg)
+    if fn is None:
+        fn = jax.jit(lambda p, s, xx, yy: confusion_matrix(
+            enc_m.apply(p, s, xx, cfg=cfg, train=False)[0], yy, cfg.n_output))
+        _CONFUSION_FNS[cfg] = fn
     cm = np.zeros((cfg.n_output, cfg.n_output), np.float64)
     for b, (mfcc, phn, *_) in enumerate(sampler):
-        cm += np.asarray(fn(jnp.asarray(mfcc), jnp.asarray(phn)))
+        cm += np.asarray(fn(params, state, jnp.asarray(mfcc), jnp.asarray(phn)))
         if max_batches is not None and b + 1 >= max_batches:
             break
     return cm

@@ -59,6 +59,11 @@ def run_training(
         ts, step = ckpt.restore_into(ts)
         if step is not None:
             print(f" resumed from step {step}")
+    # host-side step/epoch mirrors: reading ts["step"] from the device every
+    # iteration would force a host<->device sync per step (a full network
+    # round-trip on remote runtimes) and serialize the dispatch pipeline
+    step = int(ts["step"])
+    epoch = int(ts["epoch"])
 
     trn_writer = MetricsWriter(log_dir, "trn") if log_dir else None
     val_writer = MetricsWriter(log_dir, "val") if log_dir else None
@@ -90,15 +95,16 @@ def run_training(
             got_batch = True
             ts, metrics = train_step(ts, *batch)
             timer.tick()
-            step = int(ts["step"])
+            step += 1
 
             if trn_writer and (step % loop_cfg.log_every_steps == 0 or step == 1):
+                # the only per-cadence device fetch: materialize the metrics
                 trn_writer.write(step, {**metrics, "steps_per_sec": timer.steps_per_sec,
-                                        "epoch": ts["epoch"]})
+                                        "epoch": epoch})
 
             if step % loop_cfg.steps_per_epoch == 0:
                 ts = next_epoch(ts)
-                epoch = int(ts["epoch"])
+                epoch += 1
                 if on_epoch is not None:
                     on_epoch(ts, epoch)
 
@@ -144,7 +150,7 @@ def run_training(
     if pre_eval_fn is not None:
         ts = pre_eval_fn(ts)
     if ckpt is not None:
-        ckpt.save(ts, step=int(ts["step"]), config=config_snapshot, sync=True)
+        ckpt.save(ts, step=step, config=config_snapshot, sync=True)
     for w in (trn_writer, val_writer):
         if w:
             w.close()

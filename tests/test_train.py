@@ -193,19 +193,19 @@ def test_bn_recalibration_collects_true_batch_stats():
     step 780 — docs/DESIGN.md 'BN recalibration'); this pins the mechanism.
     """
     from speech_cloner_tpu.nn import modules as M
-    from speech_cloner_tpu.train.bn_recal import collect_bn_state
+    from speech_cloner_tpu.train.bn_recal import collect_bn_state, make_bn_stat_fn
 
     C = 8
     bn_params, bn_state = M.bn_init(C)
     bn_state = {"mean": jnp.full((C,), 7.0), "var": jnp.full((C,), 9.0)}  # stale
 
-    def state_fn(x):
-        _, st = M.bn_apply(bn_params, bn_state, x, train=True)
-        return st
+    stat_fn = make_bn_stat_fn(
+        lambda p, s, x: M.bn_apply(p, s, x, train=True)[1])
 
     batches = [(jnp.asarray(RNG.standard_normal((4, 10, C)) * (i + 1) + i,
                             jnp.float32),) for i in range(3)]
-    new_state = collect_bn_state(state_fn, iter(batches), max_batches=3)
+    new_state = collect_bn_state(stat_fn, bn_params, bn_state, iter(batches),
+                                 max_batches=3)
 
     # expected: plain average of each batch's true mean/var — no trace of the
     # stale moving stats or the 0.999 momentum
