@@ -71,9 +71,16 @@ def main(argv=None):
     ap.add_argument("--bn-recal", type=int, default=8,
                     help="recalibrate BN moving stats over k train batches "
                          "before each validation/save (0 = reference behavior)")
-    ap.add_argument("--loader", choices=("auto", "h5py", "native"), default="auto",
-                    help="batch assembly: C++ mmap gather or per-step h5py "
-                         "reads; auto = native when the .so builds")
+    ap.add_argument("--steps-per-call", type=int, default=0,
+                    help="fuse k optimizer steps into one device dispatch "
+                         "(lax.scan; 0 = auto, 1 = off) — amortizes "
+                         "per-dispatch latency on remote runtimes")
+    ap.add_argument("--loader", choices=("auto", "h5py", "native", "device"),
+                    default="auto",
+                    help="batch assembly: device = whole corpus resident in "
+                         "HBM with on-device window crops (auto default when "
+                         "it fits), native = C++ mmap gather, h5py = per-step "
+                         "reads")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -133,15 +140,35 @@ def main(argv=None):
     ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
     opt = opt_cfg.make()
 
-    step = jax.jit(lambda t, x, m, s: decoder_train_step(
-        t, x, m, s, enc_params=enc_params, enc_state=enc_state, enc_cfg=enc_cfg,
-        cfg=cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt))
-    ev = jax.jit(lambda t, x, m, s: decoder_eval_step(
-        t["params"], t["model_state"], x, m, s, enc_params=enc_params,
-        enc_state=enc_state, enc_cfg=enc_cfg, cfg=cfg, loss_cfg=loss_cfg))
+    T = cfg.n_timesteps
 
-    use_native = False
-    if args.loader != "h5py":
+    def _train_step(t, mfcc, mel, stft):
+        return decoder_train_step(
+            t, mfcc, mel, stft, enc_params=enc_params, enc_state=enc_state,
+            enc_cfg=enc_cfg, cfg=cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt)
+
+    def _eval_step(t, mfcc, mel, stft):
+        return decoder_eval_step(
+            t["params"], t["model_state"], mfcc, mel, stft,
+            enc_params=enc_params, enc_state=enc_state, enc_cfg=enc_cfg,
+            cfg=cfg, loss_cfg=loss_cfg)
+
+    def _bn_state(p, s, mfcc, mel, stft):
+        return dec_m.apply(
+            p, s, enc_m.posteriors(
+                enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg,
+                            train=False)[0]),
+            cfg=cfg, train=True, rng=jax.random.PRNGKey(0))[2]
+
+    # ------------------------------------------------------------- loaders ---
+    # device: whole filtered corpus resident in HBM, windows cropped on
+    # device, per-step transfer = two int32 vectors. native: C++ mmap gather.
+    use_device = use_native = False
+    est_bytes = 4 * (feat_cfg.input_dim + feat_cfg.n_mels + feat_cfg.n_stft) * \
+        sum(len(w) // feat_cfg.hop_length + 1 for w in ds.ds["wav"][f])
+    if args.loader == "device" or (args.loader == "auto" and est_bytes < 4e9):
+        use_device = True
+    elif args.loader != "h5py":
         from ..data.packed_cache import ensure_native
 
         use_native = ensure_native() is not None
@@ -149,31 +176,81 @@ def main(argv=None):
             raise SystemExit("error: --loader native but libscl_data.so "
                              "could not be built")
 
-    def batches(sample_trn):
-        kw = dict(batch_size=args.batch_size, n_epochs=1, sample_trn=sample_trn,
-                  prop_val=args.prop_val,
-                  **({"ds_filter_d": ds_filter_d} if ds_filter_d is not None else {}))
-        sampler = (ds.packed_spec_window_sampler if use_native
-                   else ds.spec_window_sampler)
+    bind = ()
+    if use_device:
+        from ..data.device_dataset import from_h5, gather_windows
 
-        def gen():
-            yield from sampler(**kw)
-        return gen
+        all_idx = np.flatnonzero(f)
+        dw = from_h5(ds.spec_cache_path(), ("mfcc", "mel_dB", "power_dB"),
+                     all_idx, T)
+        bind = tuple(dw.streams)
+        print(f" device-resident dataset: {dw.nbytes / 1e6:.0f} MB, "
+              f"{len(all_idx)} utterances")
+        pos_of = {int(o): p for p, o in enumerate(all_idx)}
+
+        def positions(sample_trn):
+            idx = ds._val_split(all_idx, args.prop_val, sample_trn)
+            return np.asarray([pos_of[int(i)] for i in idx], np.int32)
+
+        trn_pos = positions(True)
+        val_pos = trn_pos if val_sample_trn else positions(False)
+
+        def batches(sample_trn):
+            p = trn_pos if sample_trn else val_pos
+
+            def gen():
+                yield from dw.index_sampler(p, args.batch_size, n_epochs=1,
+                                            rng=ds.rng)
+            return gen
+
+        def with_gather(fn):
+            return lambda t, u, st, *streams: fn(
+                t, *gather_windows(streams, u, st, T))
+
+        step = jax.jit(with_gather(_train_step))
+        ev = jax.jit(with_gather(_eval_step))
+        bn_stat_base = lambda p, s, u, st, *streams: _bn_state(
+            p, s, *gather_windows(streams, u, st, T))
+
+        def bn_batches():
+            return ((u, st, *dw.streams) for u, st in batches(True)())
+
+        gather_jit = jax.jit(lambda u, st, *streams: gather_windows(
+            streams, u, st, T))
+
+        def fetch_batch(sample_trn):
+            u, st = next(iter(batches(sample_trn)()))
+            return [np.asarray(a) for a in gather_jit(u, st, *dw.streams)]
+    else:
+        def batches(sample_trn):
+            kw = dict(batch_size=args.batch_size, n_epochs=1,
+                      sample_trn=sample_trn, prop_val=args.prop_val,
+                      **({"ds_filter_d": ds_filter_d}
+                         if ds_filter_d is not None else {}))
+            sampler = (ds.packed_spec_window_sampler if use_native
+                       else ds.spec_window_sampler)
+
+            def gen():
+                yield from sampler(**kw)
+            return gen
+
+        step = jax.jit(_train_step)
+        ev = jax.jit(_eval_step)
+        bn_stat_base = _bn_state
+        bn_batches = batches(True)
+
+        def fetch_batch(sample_trn):
+            return list(next(iter(batches(sample_trn)()))[:3])
 
     # jitted once — a fresh jit (or an eager forward) per save costs a full
     # remote compile / op-by-op dispatch on this runtime
     from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
 
-    bn_stat_fn = make_bn_stat_fn(
-        lambda p, s, mfcc, mel, stft: dec_m.apply(
-            p, s, enc_m.posteriors(
-                enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg,
-                            train=False)[0]),
-            cfg=cfg, train=True, rng=jax.random.PRNGKey(0))[2])
+    bn_stat_fn = make_bn_stat_fn(bn_stat_base)
 
     def bn_recalibrate(ts_now):
         new_state = collect_bn_state(bn_stat_fn, ts_now["params"],
-                                     ts_now["model_state"], batches(True)(),
+                                     ts_now["model_state"], bn_batches(),
                                      max_batches=args.bn_recal)
         return {**ts_now, "model_state": new_state}
 
@@ -186,7 +263,7 @@ def main(argv=None):
         """Dump a val-batch true/pred spectrogram comparison png, the TB-image
         analog of decoder.py:209-221."""
         try:
-            mfcc, mel, stft = next(iter(batches(False)()))[:3]
+            mfcc, mel, stft = fetch_batch(False)
         except StopIteration:
             return
         y_mel, y_stft = artifact_fwd(ts_now["params"], ts_now["model_state"],
@@ -204,7 +281,8 @@ def main(argv=None):
         eval_step=ev,
         loop_cfg=LoopConfig(n_epochs=args.n_epochs, steps_per_epoch=steps_per_epoch,
                             save_each_n_epochs=args.save_each_n_epochs,
-                            max_steps=args.max_steps),
+                            steps_per_call=args.steps_per_call,
+                            max_steps=args.max_steps, bind_args=bind),
         ckpt=Checkpointer(args.model_path, "decoder"),
         log_dir=args.log_dir,
         config_snapshot={"ds": ds_cfg_d},

@@ -58,10 +58,16 @@ def main(argv=None):
                          "before each validation/save; 0 = reference "
                          "moving-average-only behavior (decay 0.999, which "
                          "lags eval metrics by thousands of steps)")
-    ap.add_argument("--loader", choices=("auto", "h5py", "native"), default="auto",
-                    help="batch assembly: the C++ mmap gather (native/scl_data.cc)"
-                         " or per-step h5py reads; auto = native when the .so "
-                         "builds")
+    ap.add_argument("--steps-per-call", type=int, default=0,
+                    help="fuse k optimizer steps into one device dispatch "
+                         "(lax.scan; 0 = auto, 1 = off) — amortizes "
+                         "per-dispatch latency on remote runtimes")
+    ap.add_argument("--loader", choices=("auto", "h5py", "native", "device"),
+                    default="auto",
+                    help="batch assembly: device = whole corpus resident in "
+                         "HBM with on-device window crops (auto default when "
+                         "it fits), native = C++ mmap gather (scl_data.cc), "
+                         "h5py = per-step reads")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -83,8 +89,14 @@ def main(argv=None):
                ds_norm=tuple(ds_cfg_d.get("ds_norm", (0.0, 10.0))), verbose=True)
     ds.build_spec_cache("phn_mfcc_cache.h5py")
 
-    use_native = False
-    if args.loader != "h5py":
+    import numpy as np
+
+    use_device = use_native = False
+    est_bytes = 4 * (feat_cfg.input_dim + 61) * sum(
+        len(w) // feat_cfg.hop_length + 1 for w in ds.ds["wav"])
+    if args.loader == "device" or (args.loader == "auto" and est_bytes < 4e9):
+        use_device = True
+    elif args.loader != "h5py":
         from ..data.packed_cache import ensure_native
 
         use_native = ensure_native() is not None
@@ -95,23 +107,40 @@ def main(argv=None):
         pack_path = ds.build_packed_cache("phn_mfcc_cache.h5py")
         print(f" native loader: {pack_path}")
 
+    bind = ()
+    dw = None
+    if use_device:
+        from ..data.device_dataset import from_h5
+
+        all_idx = np.arange(len(ds.ds["wav"]))
+        dw = from_h5(ds.spec_cache_path("phn_mfcc_cache.h5py"),
+                     ("mfcc", "phn"), all_idx, cfg.n_timesteps)
+        bind = tuple(dw.streams)
+        print(f" device-resident dataset: {dw.nbytes / 1e6:.0f} MB")
+
     def window_batches(ds_filter_d):
-        """(mfcc, phn) window batches; native mmap gather when available
+        """(mfcc, phn) window batches — or (utt, start) index batches when the
+        dataset is device-resident; native mmap gather otherwise
         (streams 0=mfcc, 3=phn in the .sclpack mirror)."""
+        if use_device:
+            def gen():
+                samples = np.flatnonzero(ds.get_ds_filter(ds_filter_d))
+                # skip_short semantics of window_sampler (TIMIT_reader.py:474)
+                samples = samples[dw.n_frames[samples] > cfg.n_timesteps]
+                yield from dw.index_sampler(samples, args.batch_size,
+                                            n_epochs=1, rng=ds.rng)
+            return gen
         if not use_native:
             return lambda: ds.window_sampler(
                 batch_size=args.batch_size, n_epochs=1,
                 ds_filter_d=ds_filter_d, base_name="phn_mfcc_cache.h5py")
 
         def gen():
-            import numpy as np
-
             from ..data.packed_cache import PackedReader, packed_window_sampler
 
             reader = PackedReader(pack_path, n_threads=8)
             try:
                 samples = np.flatnonzero(ds.get_ds_filter(ds_filter_d))
-                # skip_short semantics of window_sampler (TIMIT_reader.py:474)
                 samples = samples[reader.n_frames[samples] > cfg.n_timesteps]
                 yield from packed_window_sampler(
                     reader, batch_size=args.batch_size,
@@ -140,22 +169,57 @@ def main(argv=None):
         batch_shard = batch_sharding(mesh)
         print(f" mesh: data={args.n_data} model={args.n_model}")
 
-    step = jax.jit(lambda t, x, y: encoder_train_step(t, x, y, cfg=cfg,
-                                                      opt_cfg=opt_cfg, opt=opt))
-    ev = jax.jit(lambda t, x, y: encoder_eval_step(t["params"], t["model_state"],
-                                                   x, y, cfg=cfg))
+    def _train_step(t, x, y):
+        return encoder_train_step(t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt)
+
+    def _eval_step(t, x, y):
+        return encoder_eval_step(t["params"], t["model_state"], x, y, cfg=cfg)
+
+    def _bn_state(p, s, x, y):
+        return enc_m.apply(p, s, x, cfg=cfg, train=True,
+                           rng=jax.random.PRNGKey(0))[1]
+
+    if use_device:
+        from ..data.device_dataset import gather_windows
+
+        def with_gather(fn):
+            return lambda t, u, st, *streams: fn(
+                t, *gather_windows(streams, u, st, cfg.n_timesteps))
+
+        step = jax.jit(with_gather(_train_step))
+        ev = jax.jit(with_gather(_eval_step))
+        bn_stat_base = lambda p, s, u, st, *streams: _bn_state(
+            p, s, *gather_windows(streams, u, st, cfg.n_timesteps))
+        gather_jit = jax.jit(lambda u, st, *streams: gather_windows(
+            streams, u, st, cfg.n_timesteps))
+
+        def host_batches(ds_filter_d):
+            """Gathered (mfcc, phn) numpy batches for host-side evaluators."""
+            for u, st in window_batches(ds_filter_d)():
+                yield tuple(np.asarray(a) for a in gather_jit(u, st, *dw.streams))
+
+        def bn_batches():
+            return ((u, st, *dw.streams)
+                    for u, st in window_batches({"ds_type": "TRAIN"})())
+    else:
+        step = jax.jit(_train_step)
+        ev = jax.jit(_eval_step)
+        bn_stat_base = _bn_state
+
+        def host_batches(ds_filter_d):
+            yield from window_batches(ds_filter_d)()
+
+        def bn_batches():
+            return window_batches({"ds_type": "TRAIN"})()
 
     # jitted once — a fresh jit per save costs a full remote compile here
     from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
 
-    bn_stat_fn = make_bn_stat_fn(
-        lambda p, s, x, y: enc_m.apply(p, s, x, cfg=cfg, train=True,
-                                       rng=jax.random.PRNGKey(0))[1])
+    bn_stat_fn = make_bn_stat_fn(bn_stat_base)
 
     def bn_recalibrate(ts_now):
-        batches = window_batches({"ds_type": "TRAIN"})()
         new_state = collect_bn_state(bn_stat_fn, ts_now["params"],
-                                     ts_now["model_state"], batches,
+                                     ts_now["model_state"], bn_batches(),
                                      max_batches=args.bn_recal)
         return {**ts_now, "model_state": new_state}
 
@@ -166,7 +230,7 @@ def main(argv=None):
         from ..runtime.logging import MetricsWriter
         from ..train.evaluate import eval_confusion, top_confusions
 
-        sampler = window_batches({"ds_type": "TEST"})()
+        sampler = host_batches({"ds_type": "TEST"})
         cm = eval_confusion(ts_now["params"], ts_now["model_state"], sampler,
                             cfg=cfg, max_batches=8)
         MetricsWriter(args.log_dir, "val").write_array(step_now, "confusion", cm)
@@ -183,7 +247,9 @@ def main(argv=None):
         eval_step=ev,
         loop_cfg=LoopConfig(n_epochs=args.n_epochs, steps_per_epoch=steps_per_epoch,
                             save_each_n_epochs=args.save_each_n_epochs,
-                            max_steps=args.max_steps, batch_sharding=batch_shard),
+                            steps_per_call=args.steps_per_call,
+                            max_steps=args.max_steps, batch_sharding=batch_shard,
+                            bind_args=bind),
         ckpt=Checkpointer(args.model_path, "encoder"),
         log_dir=args.log_dir,
         config_snapshot={"ds": ds_cfg_d, "model": json.loads(json.dumps(

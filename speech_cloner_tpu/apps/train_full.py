@@ -53,7 +53,24 @@ def main(argv=None):
                     help="target voice's class name in the speaker-ID model "
                          "(TIMIT spk_id, e.g. SLT0)")
     ap.add_argument("--n-iter", type=int, default=200)
+    ap.add_argument("--in-process", action="store_true",
+                    help="run stages in this process instead of subprocesses "
+                         "(default: one subprocess per stage — device state "
+                         "from a finished stage measurably slows later ones)")
     args = ap.parse_args(argv)
+
+    def run_stage(module: str, stage_args: list[str]):
+        if args.in_process:
+            import importlib
+
+            importlib.import_module(f"speech_cloner_tpu.apps.{module}").main(stage_args)
+        else:
+            import subprocess
+            import sys
+
+            subprocess.run([sys.executable, "-m",
+                            f"speech_cloner_tpu.apps.{module}"] + stage_args,
+                           check=True)
 
     os.makedirs(args.work_dir, exist_ok=True)
     enc_path = os.path.join(args.work_dir, "enc_ckpt")
@@ -66,8 +83,6 @@ def main(argv=None):
 
     # stage 1: phoneme encoder on TIMIT (encoder.py __main__ equivalent)
     print(f"=== stage 1/{n_stages}: encoder on TIMIT ===", flush=True)
-    from .train_encoder import main as enc_main
-
     enc_args = ["--ds-path", args.timit_path, "--model-path", enc_path,
                 "--log-dir", os.path.join(args.work_dir, "enc_logs"),
                 "--batch-size", str(args.batch_size),
@@ -76,12 +91,10 @@ def main(argv=None):
         enc_args += ["--enc-cfg", args.enc_cfg]
     if args.enc_steps is not None:
         enc_args += ["--max-steps", str(args.enc_steps)]
-    enc_main(enc_args)
+    run_stage("train_encoder", enc_args)
 
     # stage 2: target-speaker decoder against the frozen stage-1 encoder
     print(f"=== stage 2/{n_stages}: decoder on target corpus ===", flush=True)
-    from .train_decoder import main as dec_main
-
     dec_args = ["--ds-path", args.target_path, "--ds-kind", args.target_kind,
                 "--spk-id", args.spk_id, "--enc-ckpt", enc_path,
                 "--model-path", dec_path,
@@ -95,17 +108,15 @@ def main(argv=None):
         dec_args += ["--dec-cfg", args.dec_cfg]
     if args.dec_steps is not None:
         dec_args += ["--max-steps", str(args.dec_steps)]
-    dec_main(dec_args)
+    run_stage("train_decoder", dec_args)
 
     # stage 3: speaker-ID verifier (voice_identification.py equivalent)
     print(f"=== stage 3/{n_stages}: speaker-ID verifier on TIMIT ===", flush=True)
-    from .train_speaker_id import main as spk_main
-
     spk_args = ["--ds-path", args.timit_path, "--model-path", spk_path,
                 "--batch-size", str(args.batch_size)] + common_ds
     if args.spk_steps is not None:
         spk_args += ["--max-steps", str(args.spk_steps)]
-    spk_main(spk_args)
+    run_stage("train_speaker_id", spk_args)
 
     # stage 4: clone demo (TESTS 1-3) + speaker-ID verification
     if args.demo:
@@ -113,8 +124,6 @@ def main(argv=None):
             raise SystemExit("--demo requires --target-kind arctic "
                              "(needs a multi-speaker labeled target corpus)")
         print(f"=== stage 4/{n_stages}: clone demo + verification ===", flush=True)
-        from .clone_demo import main as demo_main
-
         demo_args = ["--target-path", args.target_path, "--spk-id", args.spk_id,
                      "--source-spk", args.demo_source_spk,
                      "--enc-ckpt", enc_path, "--dec-ckpt", dec_path,
@@ -127,7 +136,7 @@ def main(argv=None):
             demo_args += ["--dec-cfg", args.dec_cfg]
         if args.target_timit_spk:
             demo_args += ["--target-timit-spk", args.target_timit_spk]
-        demo_main(demo_args)
+        run_stage("clone_demo", demo_args)
 
     print(f"=== done: checkpoints under {args.work_dir} ===")
     print(f"convert with: python -m speech_cloner_tpu.apps.convert "

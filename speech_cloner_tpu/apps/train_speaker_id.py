@@ -100,20 +100,24 @@ def main(argv=None):
     val_iter = val_stream()
     best_val, val_hist = 0.0, []
     i_step = 0
+    # validate every k steps, not every step: a per-step eval + host fetch
+    # serializes the dispatch pipeline (the reference evaluated per batch,
+    # voice_identification.py:205-215, but also ran eagerly anyway)
+    eval_every = 5
     for _ in range(args.n_epochs):
         for mfcc, mel, power, cls in ds.speaker_spec_sampler(
                 args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
                 base_name="phn_mfcc_cache.h5py"):
             ts, m = step(ts, power, cls)
-            _, _, vp, vc = next(val_iter)
-            vm = ev(ts["params"], ts["model_state"], vp, vc)
-            val_hist.append(float(vm["acc"]))
+            if i_step % eval_every == 0:
+                _, _, vp, vc = next(val_iter)
+                vm = ev(ts["params"], ts["model_state"], vp, vc)
+                val_hist.append(float(vm["acc"]))
             if i_step % 10 == 0:
                 print(f" - step={i_step} trn_loss={float(m['loss']):.3f} "
                       f"trn_acc={float(m['acc']):.3f} val_acc={val_hist[-1]:.3f}")
-            # best-weights tracking over a 10-step window (voice_identification.py:217-221);
-            # checked every 5 steps since each save now recalibrates BN
-            if (len(val_hist) > 10 and i_step % 5 == 0
+            # best-weights tracking over a 10-eval window (voice_identification.py:217-221)
+            if (len(val_hist) > 10 and i_step % eval_every == 0
                     and float(np.mean(val_hist[-10:])) > best_val):
                 best_val = float(np.mean(val_hist[-10:]))
                 ckpt.save(recal(ts), step=i_step, config=cfg_snapshot)

@@ -26,15 +26,25 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
-    def put(batch):
-        if sharding is not None:
-            return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
-        return jax.tree.map(jax.device_put, batch)
+    def place(a):
+        if sharding is None:
+            return jax.device_put(a)
+        sh = sharding
+        spec = getattr(sh, "spec", None)
+        if spec is not None and a.ndim < len(spec):
+            # rank-adapt: e.g. batch sharding P('data', None, None) applied
+            # to a 1-D index vector -> P('data')
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(sh.mesh, P(*list(spec)[: a.ndim]))
+        return jax.device_put(a, sh)
 
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                q.put(jax.tree.map(place, batch))
+        except BaseException as e:  # surface sampler/placement errors
+            q.put(e)
         finally:
             q.put(_END)
 
@@ -44,4 +54,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

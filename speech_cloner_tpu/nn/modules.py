@@ -32,6 +32,7 @@ the shipped enc_*_ckpt weights import exactly:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,11 @@ import numpy as np
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.999
+# lax.scan body replication for the GRU/LSTM time scans (bit-identical math).
+# Sequential scan iterations carry a fixed per-iteration cost that dominates
+# CBHG wall time on dispatch/loop-overhead-bound runtimes; unrolling k bodies
+# per iteration divides that overhead by k (tools/gru_scan_probe.py).
+GRU_SCAN_UNROLL = int(os.environ.get("SCL_GRU_UNROLL", "1"))
 
 
 # ------------------------------------------------------------ initializers ---
@@ -223,7 +229,8 @@ def _gru_dir_apply(params, x):
     # derive h0 from x so its type (incl. shard_map varying-axes) matches the
     # carry produced inside the scan
     h0 = jnp.zeros((B, H), dtype=x.dtype) + 0.0 * x[:, 0, :1]
-    _, ys = jax.lax.scan(step, h0, (gx.transpose(1, 0, 2), cx.transpose(1, 0, 2)))
+    _, ys = jax.lax.scan(step, h0, (gx.transpose(1, 0, 2), cx.transpose(1, 0, 2)),
+                         unroll=GRU_SCAN_UNROLL)
     return ys.transpose(1, 0, 2)
 
 

@@ -17,6 +17,50 @@ from typing import Callable, Iterator
 import numpy as np
 
 
+def _fuse_steps(train_step: Callable, k: int, n_bind: int = 0) -> Callable:
+    """(ts, *stacked_batch[k, ...], *bind) -> (ts, last-substep metrics): k
+    optimizer steps inside one compiled program via lax.scan — one host
+    dispatch. The trailing ``n_bind`` args are scan-invariant extras (e.g.
+    device-resident dataset arrays) forwarded to every substep."""
+    import jax
+
+    def fused(ts, *args):
+        stacked = args[: len(args) - n_bind] if n_bind else args
+        bind = args[len(args) - n_bind:] if n_bind else ()
+
+        def body(t, batch):
+            return train_step(t, *batch, *bind)
+
+        ts2, ms = jax.lax.scan(body, ts, stacked)
+        return ts2, jax.tree.map(lambda a: a[-1], ms)
+
+    return fused
+
+
+def _stack_iter(batches: Iterator, k: int, pending: list,
+                seen: dict | None = None) -> Iterator:
+    """Group k consecutive batches into one stacked macro-batch. ``pending``
+    persists across calls so a sampler pass shorter than k carries its
+    batches into the next pass instead of losing them."""
+    for b in batches:
+        if seen is not None:
+            seen["n"] += 1
+        pending.append(b)
+        if len(pending) == k:
+            yield tuple(np.stack(col) for col in zip(*pending))
+            pending.clear()
+
+
+def _stacked_sharding(sharding, k: int):
+    """Batch sharding for [k, B, ...] macro-batches: keep the scan axis
+    replicated, shard the batch axis as before."""
+    if sharding is None or k == 1:
+        return sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(sharding.mesh, P(None, *sharding.spec))
+
+
 from ..data.prefetch import device_prefetch
 from ..runtime.checkpoint import Checkpointer
 from ..runtime.logging import MetricsWriter, StepTimer
@@ -33,6 +77,14 @@ class LoopConfig:
     prefetch: int = 2
     batch_sharding: object = None  # e.g. parallel.batch_sharding(mesh)
     val_batches_per_eval: int = 4  # mean/std over k batches, not 1 noisy one
+    steps_per_call: int = 1        # fuse k steps into ONE device dispatch
+                                   # (lax.scan over stacked batches) — vital on
+                                   # high-dispatch-latency runtimes; clamped to
+                                   # a divisor of steps_per_epoch so the
+                                   # epoch-indexed lr/f_mel schedules stay exact
+    bind_args: tuple = ()          # appended to every train_step call as
+                                   # explicit jit args (device-resident dataset
+                                   # arrays — never closed over, never re-sent)
 
 
 def run_training(
@@ -84,22 +136,54 @@ def run_training(
                         "prop_val)")
         val_iter = fresh_val()
 
+    # multi-step dispatch fusion: k steps per compiled call, k | steps_per_epoch
+    # (0 = auto: largest divisor of steps_per_epoch <= 16)
+    k = loop_cfg.steps_per_call if loop_cfg.steps_per_call else min(
+        loop_cfg.steps_per_epoch, 16)
+    k = max(1, min(k, loop_cfg.steps_per_epoch))
+    while k > 1 and loop_cfg.steps_per_epoch % k:
+        k -= 1
+    bind = tuple(loop_cfg.bind_args)
+    if k > 1:
+        import jax
+
+        fused_step = jax.jit(_fuse_steps(train_step, k, n_bind=len(bind)))
+        print(f" fusing {k} train steps per device dispatch")
+    else:
+        fused_step = train_step  # called as fused_step(ts, *batch, *bind)
+
     stop = False
+    pending: list = []
     while not stop:
         batches = train_batches()
+        seen = {"n": 0}
+        if k > 1:
+            batches = _stack_iter(batches, k, pending, seen)
         if loop_cfg.prefetch:
-            batches = device_prefetch(batches, size=loop_cfg.prefetch,
-                                      sharding=loop_cfg.batch_sharding)
+            batches = device_prefetch(
+                batches, size=loop_cfg.prefetch,
+                sharding=_stacked_sharding(loop_cfg.batch_sharding, k))
         got_batch = False
         for batch in batches:
             got_batch = True
-            ts, metrics = train_step(ts, *batch)
+            if (k > 1 and loop_cfg.max_steps is not None
+                    and step + k > loop_cfg.max_steps):
+                # exact-stop tail: run the remaining < k steps unfused
+                for i in range(loop_cfg.max_steps - step):
+                    ts, metrics = train_step(ts, *(col[i] for col in batch),
+                                             *bind)
+                step = loop_cfg.max_steps
+                timer.tick()
+                stop = True
+                break
+            ts, metrics = fused_step(ts, *batch, *bind)
             timer.tick()
-            step += 1
+            step += k
 
-            if trn_writer and (step % loop_cfg.log_every_steps == 0 or step == 1):
+            if trn_writer and (step % loop_cfg.log_every_steps < k or step == k):
                 # the only per-cadence device fetch: materialize the metrics
-                trn_writer.write(step, {**metrics, "steps_per_sec": timer.steps_per_sec,
+                trn_writer.write(step, {**metrics,
+                                        "steps_per_sec": timer.steps_per_sec * k,
                                         "epoch": epoch})
 
             if step % loop_cfg.steps_per_epoch == 0:
@@ -119,7 +203,7 @@ def run_training(
                         # k-batch validation: the reference hung best-ckpt
                         # decisions on a single noisy batch (decoder.py:427);
                         # we report mean and spread over k batches.
-                        vms = [eval_step(ts, *next(val_iter))
+                        vms = [eval_step(ts, *next(val_iter), *bind)
                                for _ in range(max(loop_cfg.val_batches_per_eval, 1))]
                         vm = {k: float(np.mean([float(m[k]) for m in vms]))
                               for k in vms[0]}
@@ -140,7 +224,7 @@ def run_training(
                 stop = True
                 break
         else:
-            if not got_batch:
+            if not got_batch and not (k > 1 and seen["n"]):
                 raise RuntimeError(
                     "train_batches yielded no batches — dataset/filter/split "
                     "produced fewer samples than one batch")

@@ -8,6 +8,7 @@ via --xla_force_host_platform_device_count=8).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins tpu
+os.environ["SCL_PLATFORM"] = "cpu"   # subprocess stages (train_full) inherit
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
