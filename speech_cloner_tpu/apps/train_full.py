@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--enc-epochs", type=int, default=50)
     ap.add_argument("--dec-epochs", type=int, default=300)
     ap.add_argument("--dec-prop-val", type=float, default=0.02)
+    ap.add_argument("--dec-save-epochs", type=int, default=10,
+                    help="decoder save/validate cadence (big ckpts on a slow "
+                         "link make frequent saves the dominant cost)")
     ap.add_argument("--demo", action="store_true",
                     help="stage 4: TESTS 1-3 clone demo + speaker-ID verdict")
     ap.add_argument("--demo-source-spk", default="bdl")
@@ -101,6 +104,7 @@ def main(argv=None):
                 "--log-dir", os.path.join(args.work_dir, "dec_logs"),
                 "--batch-size", str(args.batch_size),
                 "--prop-val", str(args.dec_prop_val),
+                "--save-each-n-epochs", str(args.dec_save_epochs),
                 "--n-epochs", str(args.dec_epochs)] + common_ds
     if args.enc_cfg:
         dec_args += ["--enc-cfg", args.enc_cfg]
