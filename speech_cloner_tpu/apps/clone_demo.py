@@ -56,6 +56,10 @@ def main(argv=None):
     ap.add_argument("--n-iter", type=int, default=200)
     ap.add_argument("--realse", type=float, default=1.2)
     ap.add_argument("--prop-val", type=float, default=0.02)
+    ap.add_argument("--verify-utts", type=int, default=4,
+                    help="source utterances converted for the speaker-ID "
+                         "verdict (posterior averaged over all their windows; "
+                         "one ~3 s clip is a single-window verdict)")
     args = ap.parse_args(argv)
 
     import jax
@@ -111,6 +115,7 @@ def main(argv=None):
               "n_iter": args.n_iter, "tests": {}}
     sr = feat_cfg.sample_rate
     test3_wavs = None
+    control_wavs = []  # target self-reconstructions (TESTS 1-2 preds)
 
     for name, utt, spk in scenarios:
         wav_true = np.asarray(ds.ds["wav"][utt], np.float32)
@@ -147,13 +152,23 @@ def main(argv=None):
               f"mel_loss={entry['mel_loss']:.3f} stft_loss={entry['stft_loss']:.3f}")
         if name.startswith("test3"):
             test3_wavs = (wav_true, wav_pred)
+        else:
+            control_wavs.append(wav_pred)
 
-    # speaker-ID verification on the cross-speaker conversion (TEST 3)
+    # speaker-ID verification on the cross-speaker conversion (TEST 3),
+    # averaged over --verify-utts source utterances for a multi-window verdict
     if args.spk_ckpt and test3_wavs is not None:
         from ..pipeline.verify import format_report, verify_conversion
 
-        v = verify_conversion(test3_wavs[0], test3_wavs[1], args.spk_ckpt,
-                              feat_cfg, target_spk_id=args.target_timit_spk)
+        wavs_true, wavs_pred = [test3_wavs[0]], [test3_wavs[1]]
+        for utt in src_idx[1:max(args.verify_utts, 1)]:
+            w_t = np.asarray(ds.ds["wav"][int(utt)], np.float32)
+            w_p, _, _, _ = pipe.convert(w_t)
+            wavs_true.append(w_t)
+            wavs_pred.append(w_p)
+        v = verify_conversion(wavs_true, wavs_pred, args.spk_ckpt,
+                              feat_cfg, target_spk_id=args.target_timit_spk,
+                              wav_control=control_wavs or None)
         report["verification"] = v
         print(format_report(v))
 

@@ -9,6 +9,9 @@ encoder.py:495; decoder.eval_loss decoder.py:474-493) as a CLI:
   python -m speech_cloner_tpu.apps.evaluate decoder \
       --ds-path /data/ARCTIC/cmu_arctic --spk-id slt \
       --enc-ckpt .../encoder-136512 --ckpt ./dec_ckpt
+
+  python -m speech_cloner_tpu.apps.evaluate speaker \
+      --ds-path /data/TIMIT --ckpt ./spk_ckpt [--split val|tst|trn]
 """
 
 from __future__ import annotations
@@ -28,7 +31,10 @@ def main(argv=None):
 
     apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=("encoder", "decoder"))
+    ap.add_argument("mode", choices=("encoder", "decoder", "speaker"))
+    ap.add_argument("--split", choices=("trn", "val", "tst"), default="val",
+                    help="speaker mode: which per-speaker 0.8/0.1/0.1 slice "
+                         "to score (voice_identification.py:169-223)")
     ap.add_argument("--ds-path", required=True)
     ap.add_argument("--ckpt", required=True, help="model to evaluate (ours or TF)")
     ap.add_argument("--enc-ckpt", help="frozen encoder for decoder eval")
@@ -66,6 +72,38 @@ def main(argv=None):
         print(" top confused phone pairs (true->pred, count, rate):")
         for t, p, cnt, r in top_confusions(cm, ds.idx2phn, k=10):
             print(f"   {t:>5} -> {p:<5} {cnt:6d}  {r:.1%}")
+    elif args.mode == "speaker":
+        # speaker-ID verifier accuracy on a held-out per-speaker slice —
+        # the classifier's honest number, with the recalibrated BN stats the
+        # checkpoint carries (train/bn_recal.py), unlike the in-training
+        # val_acc readout which uses lagging 0.999-decay moving averages
+        import jax
+        import numpy as np
+
+        from ..data.timit import TIMIT
+        from ..pipeline.verify import load_speaker_model
+        from ..train import speaker_eval_step
+
+        params, state, spk_cfg, spk_id_v = load_speaker_model(args.ckpt)
+        ds = TIMIT(args.ds_path, feat_cfg, n_timesteps=spk_cfg.n_timesteps,
+                   verbose=True)
+        ds.build_spec_cache("phn_mfcc_cache.h5py")
+        ds.prepare_speaker_dicts(None)
+        split = {"split_key": "spk_id", "split_props_v": (0.8, 0.9),
+                 "split_type": args.split}
+        ev = jax.jit(lambda p, s, x, y: speaker_eval_step(p, s, x, y, cfg=spk_cfg))
+        accs, n = [], 0
+        for _, _, power, cls in ds.speaker_spec_sampler(
+                args.batch_size, n_epochs=1, ds_filter_d={"split_d": split},
+                base_name="phn_mfcc_cache.h5py"):
+            m = ev(params, state, power, cls)
+            accs.append(float(m["acc"]))
+            n += power.shape[0]
+            if len(accs) >= args.n_batches:
+                break
+        acc = float(np.mean(accs)) if accs else float("nan")
+        print(f" speaker-ID {args.split} accuracy over {n} windows "
+              f"({len(spk_id_v)} classes): {acc:.4f}")
     else:
         from ..data.arctic import ARCTIC
         from .convert import load_decoder_weights

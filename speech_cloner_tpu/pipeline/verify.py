@@ -63,24 +63,51 @@ def mean_posterior(params, state, cfg, windows: np.ndarray) -> np.ndarray:
     return np.asarray(probs.mean(axis=0))
 
 
-def verify_conversion(wav_true: np.ndarray, wav_pred: np.ndarray,
+def verify_conversion(wav_true, wav_pred,
                       spk_model_path: str, feat_cfg,
-                      target_spk_id: str | None = None, top_k: int = 3) -> dict:
+                      target_spk_id: str | None = None, top_k: int = 3,
+                      wav_control=None) -> dict:
     """Classify source vs converted audio; report the posterior shift.
+
+    ``wav_true``/``wav_pred`` may be single waveforms or lists of waveforms —
+    with a list, the posterior is averaged over the windows of ALL utterances
+    (short utterances yield a single 400-frame window each, so a one-clip
+    verdict rests on one CNN forward; averaging over several clips is the
+    statistically honest version of voice_identification.py:202-223).
+
+    ``wav_control`` (optional) is SELF-RECONSTRUCTED target-speaker audio —
+    a true target utterance passed through the same decoder+vocoder. A
+    classifier trained only on clean audio shifts ALL resynthesized audio
+    the same way (Griffin-Lim phase + decoder coloration), so the honest
+    question is not "does the conversion classify as the raw target?" but
+    "does it classify like a reconstruction of the target does?". The
+    reference had no such control (it eyeballed voice_identification.py
+    outputs); this closes that gap.
 
     Returns a JSON-friendly report:
       true_top / pred_top: [(spk_id, p), ...] highest mean posteriors,
       identity_changed: argmax class moved,
+      n_windows_true / n_windows_pred: how many windows the verdict averages,
       target_p_true / target_p_pred: posterior mass on ``target_spk_id``
         before/after conversion (when given),
-      target_hit: converted audio classifies as the target.
+      target_hit: converted audio classifies as the target,
+      control_top: posterior of the reconstruction control,
+      control_match: converted argmax == control argmax,
+      cos_pred_control / cos_pred_true: cosine similarity of the converted
+        posterior to the control's vs to the source's.
     """
     params, state, cfg, spk_id_v = load_speaker_model(spk_model_path)
 
-    post_true = mean_posterior(params, state, cfg,
-                               power_windows(wav_true, feat_cfg, cfg.n_timesteps))
-    post_pred = mean_posterior(params, state, cfg,
-                               power_windows(wav_pred, feat_cfg, cfg.n_timesteps))
+    def windows_multi(wavs):
+        if isinstance(wavs, np.ndarray) and wavs.ndim == 1:
+            wavs = [wavs]
+        return np.concatenate(
+            [power_windows(w, feat_cfg, cfg.n_timesteps) for w in wavs], axis=0)
+
+    win_true = windows_multi(wav_true)
+    win_pred = windows_multi(wav_pred)
+    post_true = mean_posterior(params, state, cfg, win_true)
+    post_pred = mean_posterior(params, state, cfg, win_pred)
 
     def top(post):
         idx = np.argsort(post)[::-1][:top_k]
@@ -90,7 +117,19 @@ def verify_conversion(wav_true: np.ndarray, wav_pred: np.ndarray,
         "true_top": top(post_true),
         "pred_top": top(post_pred),
         "identity_changed": bool(int(post_true.argmax()) != int(post_pred.argmax())),
+        "n_windows_true": int(win_true.shape[0]),
+        "n_windows_pred": int(win_pred.shape[0]),
     }
+    if wav_control is not None:
+        post_ctl = mean_posterior(params, state, cfg, windows_multi(wav_control))
+
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+        report["control_top"] = top(post_ctl)
+        report["control_match"] = bool(int(post_pred.argmax()) == int(post_ctl.argmax()))
+        report["cos_pred_control"] = cos(post_pred, post_ctl)
+        report["cos_pred_true"] = cos(post_pred, post_true)
     if target_spk_id is not None:
         if target_spk_id in spk_id_v:
             ti = spk_id_v.index(target_spk_id)
@@ -111,6 +150,12 @@ def format_report(report: dict) -> str:
     lines.append("   converted audio classifies as: "
                  + ", ".join(f"{s}={p:.3f}" for s, p in report["pred_top"]))
     lines.append(f"   identity changed: {report['identity_changed']}")
+    if "control_top" in report:
+        lines.append("   reconstruction control classifies as: "
+                     + ", ".join(f"{s}={p:.3f}" for s, p in report["control_top"]))
+        lines.append(f"   converted matches control: {report['control_match']} "
+                     f"(cos to control {report['cos_pred_control']:.3f} vs "
+                     f"cos to source {report['cos_pred_true']:.3f})")
     if "target_p_pred" in report:
         lines.append(f"   posterior on target '{report['target_spk_id']}': "
                      f"{report['target_p_true']:.3f} -> {report['target_p_pred']:.3f}"

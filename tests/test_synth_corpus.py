@@ -140,6 +140,17 @@ def test_verify_conversion_report(tmp_path):
     assert report["target_p_pred"] > report["target_p_true"]
     assert "SLT0" in format_report(report)
 
+    # multi-utterance + reconstruction-control verdict: lists of waveforms,
+    # posterior averaged over all windows, control similarity reported
+    wav_tgt2, _ = synth_utterance(np.random.default_rng(97), TARGET_PROFILE,
+                                  n_phones=10)
+    report2 = verify_conversion([wav_src], [wav_tgt], model_path, feat_cfg,
+                                target_spk_id="SLT0", wav_control=[wav_tgt2])
+    assert report2["n_windows_pred"] >= 1
+    assert report2["control_match"]
+    assert report2["cos_pred_control"] > report2["cos_pred_true"]
+    assert "control" in format_report(report2)
+
 
 def test_restore_into_structural_mismatch(tmp_path):
     """restore_into matches by path, not position: same leaf count but a
