@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--enc-steps", type=int, default=None)
     ap.add_argument("--dec-steps", type=int, default=None)
     ap.add_argument("--spk-steps", type=int, default=None)
+    ap.add_argument("--spk-vocoded-augment", type=float, default=0.0,
+                    help="stage-3 vocoded-augmentation fraction "
+                         "(train_speaker_id --vocoded-augment)")
     ap.add_argument("--enc-epochs", type=int, default=50)
     ap.add_argument("--dec-epochs", type=int, default=300)
     ap.add_argument("--dec-prop-val", type=float, default=0.02)
@@ -120,6 +123,8 @@ def main(argv=None):
                 "--batch-size", str(args.batch_size)] + common_ds
     if args.spk_steps is not None:
         spk_args += ["--max-steps", str(args.spk_steps)]
+    if args.spk_vocoded_augment > 0.0:
+        spk_args += ["--vocoded-augment", str(args.spk_vocoded_augment)]
     run_stage("train_speaker_id", spk_args)
 
     # stage 4: clone demo (TESTS 1-3) + speaker-ID verification

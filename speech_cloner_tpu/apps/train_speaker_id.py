@@ -37,6 +37,11 @@ def main(argv=None):
     ap.add_argument("--bn-recal", type=int, default=8,
                     help="recalibrate BN moving stats over k train batches "
                          "before each checkpoint save (0 = moving-average only)")
+    ap.add_argument("--vocoded-augment", type=float, default=0.0,
+                    help="fraction of training windows replaced by their "
+                         "on-device Griffin-Lim resynthesis (train/augment.py) "
+                         "so the verifier generalizes to converted audio; "
+                         "0 = reference behavior")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -64,8 +69,16 @@ def main(argv=None):
     opt = opt_cfg.make()
     ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
 
-    step = jax.jit(lambda t, x, y: speaker_train_step(t, x, y, cfg=cfg,
-                                                      opt_cfg=opt_cfg, opt=opt))
+    if args.vocoded_augment > 0.0:
+        from ..train.augment import mix_vocoded
+
+        # augmentation fused into the train-step dispatch (vmapped fast-GL)
+        step = jax.jit(lambda t, x, y, k: speaker_train_step(
+            t, mix_vocoded(x, feat_cfg, key=k, frac=args.vocoded_augment),
+            y, cfg=cfg, opt_cfg=opt_cfg, opt=opt))
+    else:
+        step = jax.jit(lambda t, x, y, k: speaker_train_step(
+            t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt))
     ev = jax.jit(lambda p, s, x, y: speaker_eval_step(p, s, x, y, cfg=cfg))
 
     def val_stream():
@@ -84,14 +97,26 @@ def main(argv=None):
     bn_stat_fn = make_bn_stat_fn(
         lambda p, s, x: spk_m.apply(p, s, x, cfg=cfg, train=True)[1])
 
+    if args.vocoded_augment > 0.0:
+        from ..train.augment import mix_vocoded
+
+        aug_fn = jax.jit(lambda x, k: mix_vocoded(x, feat_cfg, key=k,
+                                                  frac=args.vocoded_augment))
+    else:
+        aug_fn = None
+
     def recal(ts_now):
         """Replace laggy 0.999-decay BN moving stats with averaged batch stats
-        before checkpointing (see train/bn_recal.py)."""
+        before checkpointing (see train/bn_recal.py). With augmentation on,
+        the stats are collected over the SAME clean/vocoded mixture the
+        training stream sees."""
         if not args.bn_recal:
             return ts_now
-        batches = ((p,) for _, _, p, c in ds.speaker_spec_sampler(
-            args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
-            base_name="phn_mfcc_cache.h5py"))
+        batches = ((p if aug_fn is None
+                    else aug_fn(p, jax.random.PRNGKey(910001 + i)),)
+                   for i, (_, _, p, c) in enumerate(ds.speaker_spec_sampler(
+                       args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
+                       base_name="phn_mfcc_cache.h5py")))
         return {**ts_now,
                 "model_state": collect_bn_state(bn_stat_fn, ts_now["params"],
                                                 ts_now["model_state"], batches,
@@ -108,7 +133,7 @@ def main(argv=None):
         for mfcc, mel, power, cls in ds.speaker_spec_sampler(
                 args.batch_size, n_epochs=1, ds_filter_d=filt_trn,
                 base_name="phn_mfcc_cache.h5py"):
-            ts, m = step(ts, power, cls)
+            ts, m = step(ts, power, cls, jax.random.PRNGKey(args.seed * 7919 + i_step))
             if i_step % eval_every == 0:
                 _, _, vp, vc = next(val_iter)
                 vm = ev(ts["params"], ts["model_state"], vp, vc)

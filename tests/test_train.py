@@ -222,3 +222,47 @@ def test_bn_recalibration_collects_true_batch_stats():
 
     # the momentum constant is restored after recalibration
     assert M.BN_MOMENTUM == 0.999
+
+
+def test_vocoded_augmentation():
+    """train/augment.py: a GL-resynthesized power window stays in the input
+    domain ([-1,1], same shape), differs from the original (the domain shift
+    it exists to span), but remains correlated with it (same content); and
+    frac=0 / frac=1 / bernoulli selection behave as specified."""
+    import jax
+
+    from speech_cloner_tpu.ops import FeatureConfig, mfcc_input
+    from speech_cloner_tpu.train.augment import mix_vocoded, vocoded_power_window
+
+    cfg = FeatureConfig()
+    rng = np.random.default_rng(0)
+    t = np.arange(40 * cfg.hop_length + cfg.win_length) / cfg.sample_rate
+    wav = (np.sin(2 * np.pi * 220 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+           + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+    _, _, p_dB = mfcc_input(wav, cfg, xp=np)
+    p = jnp.asarray(p_dB[:40][None])  # [1, 40, n_stft]
+
+    voc = np.asarray(mix_vocoded(p, cfg, key=jax.random.PRNGKey(0), frac=1.0,
+                                 n_iter=8))
+    assert voc.shape == p.shape and voc.dtype == np.float32
+    assert voc.min() >= -1.0 and voc.max() <= 1.0
+    d = np.abs(voc - np.asarray(p)).mean()
+    assert d > 1e-3, f"vocoding changed nothing ({d})"
+    c = np.corrcoef(voc.ravel(), np.asarray(p).ravel())[0, 1]
+    assert c > 0.7, f"vocoded window lost the content (corr {c})"
+
+    # frac=0 is the identity
+    same = mix_vocoded(p, cfg, key=jax.random.PRNGKey(0), frac=0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(p))
+
+    # bernoulli selection: with B=6 and frac=0.5, some rows swap, some stay
+    pb = jnp.tile(p, (6, 1, 1))
+    mixed = np.asarray(mix_vocoded(pb, cfg, key=jax.random.PRNGKey(1),
+                                   frac=0.5, n_iter=8))
+    row_changed = np.abs(mixed - np.asarray(pb)).mean(axis=(1, 2)) > 1e-6
+    assert 0 < row_changed.sum() < 6
+
+    # single-window helper agrees with the batch path
+    one = np.asarray(vocoded_power_window(p[0], cfg,
+                                          key=jax.random.PRNGKey(2), n_iter=8))
+    assert one.shape == p[0].shape
