@@ -75,6 +75,9 @@ def main(argv=None):
                     help="fuse k optimizer steps into one device dispatch "
                          "(lax.scan; 0 = auto, 1 = off) — amortizes "
                          "per-dispatch latency on remote runtimes")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 forward/backward on "
+                         "the MXU, f32 master weights/Adam/BN stats/loss")
     ap.add_argument("--loader", choices=("auto", "h5py", "native", "device"),
                     default="auto",
                     help="batch assembly: device = whole corpus resident in "
@@ -142,10 +145,15 @@ def main(argv=None):
 
     T = cfg.n_timesteps
 
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+
     def _train_step(t, mfcc, mel, stft):
         return decoder_train_step(
             t, mfcc, mel, stft, enc_params=enc_params, enc_state=enc_state,
-            enc_cfg=enc_cfg, cfg=cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt)
+            enc_cfg=enc_cfg, cfg=cfg, loss_cfg=loss_cfg, opt_cfg=opt_cfg, opt=opt,
+            compute_dtype=compute_dtype)
 
     def _eval_step(t, mfcc, mel, stft):
         return decoder_eval_step(

@@ -16,6 +16,7 @@ import argparse
 import json
 
 import jax
+import jax.numpy as jnp
 
 from ..data.timit import TIMIT
 from ..models import encoder as enc_m
@@ -68,6 +69,9 @@ def main(argv=None):
                          "HBM with on-device window crops (auto default when "
                          "it fits), native = C++ mmap gather (scl_data.cc), "
                          "h5py = per-step reads")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 forward/backward on "
+                         "the MXU, f32 master weights/Adam/BN stats/loss")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -169,8 +173,11 @@ def main(argv=None):
         batch_shard = batch_sharding(mesh)
         print(f" mesh: data={args.n_data} model={args.n_model}")
 
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+
     def _train_step(t, x, y):
-        return encoder_train_step(t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt)
+        return encoder_train_step(t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt,
+                                  compute_dtype=compute_dtype)
 
     def _eval_step(t, x, y):
         return encoder_eval_step(t["params"], t["model_state"], x, y, cfg=cfg)

@@ -100,8 +100,12 @@ def bn_apply(params, state, x, train: bool):
     """BatchNorm over all axes but the last. Returns (y, new_state)."""
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        # moments in f32 even under bf16 compute: batch variance over ~1e4
+        # elements loses mantissa in bf16, and the moving stats live in the
+        # f32 model_state pytree (identity when x is already f32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         new_state = {
             "mean": BN_MOMENTUM * state["mean"] + (1.0 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * state["var"] + (1.0 - BN_MOMENTUM) * var,
@@ -109,8 +113,8 @@ def bn_apply(params, state, x, train: bool):
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = jax.lax.rsqrt(var + BN_EPS)
-    y = (x - mean) * (inv * params["gamma"]) + params["beta"]
+    inv = jax.lax.rsqrt(var.astype(x.dtype) + jnp.asarray(BN_EPS, x.dtype))
+    y = (x - mean.astype(x.dtype)) * (inv * params["gamma"]) + params["beta"]
     return y, new_state
 
 

@@ -21,19 +21,39 @@ from .metrics import frame_accuracy, probs_mse, softmax_xent, weighted_mse
 from .optimizer import OptimizerConfig, apply_updates
 
 
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf to ``dtype`` (None = identity).
+
+    Mixed-precision training the TPU way: master params/opt-state stay f32
+    in the TrainState; the cast happens INSIDE the differentiated function,
+    so the forward/backward matmuls run in bf16 on the MXU while autodiff's
+    cast-transpose delivers f32 gradients to Adam. BN moments/moving stats
+    stay f32 (nn/modules.bn_apply), losses/softmax are computed in f32.
+    """
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree)
+
+
 # ---------------------------------------------------------------- encoder ---
 
 def encoder_train_step(ts, mfcc, phn, *, cfg: enc_m.EncoderConfig,
-                       opt_cfg: OptimizerConfig, opt):
+                       opt_cfg: OptimizerConfig, opt, compute_dtype=None):
     """One step: xent loss on [B,T,61] soft targets + Adam + BN update.
 
+    ``compute_dtype=jnp.bfloat16`` runs the model forward/backward in bf16
+    (f32 master weights, f32 loss/BN stats — see _cast_floats).
     Returns (new_ts, metrics dict).
     """
     rng, step_rng = jax.random.split(ts["rng"])
 
     def loss_fn(params):
-        logits, new_state = enc_m.apply(params, ts["model_state"], mfcc,
-                                        cfg=cfg, train=True, rng=step_rng)
+        logits, new_state = enc_m.apply(
+            _cast_floats(params, compute_dtype), ts["model_state"],
+            _cast_floats(mfcc, compute_dtype), cfg=cfg, train=True, rng=step_rng)
+        logits = logits.astype(jnp.float32)
         loss = softmax_xent(logits, phn)
         return loss, (new_state, logits)
 
@@ -74,7 +94,7 @@ def f_mel_schedule(epoch, target_mel_step2_val: float):
 def decoder_train_step(ts, mfcc, target_mel, target_stft, *,
                        enc_params, enc_state, enc_cfg: enc_m.EncoderConfig,
                        cfg: dec_m.DecoderConfig, loss_cfg: DecoderLossConfig,
-                       opt_cfg: OptimizerConfig, opt):
+                       opt_cfg: OptimizerConfig, opt, compute_dtype=None):
     """One decoder step with the frozen encoder producing PPG inputs.
 
     The reference freezes the encoder by removing its vars from the trainable
@@ -84,15 +104,25 @@ def decoder_train_step(ts, mfcc, target_mel, target_stft, *,
     """
     rng, step_rng = jax.random.split(ts["rng"])
 
-    enc_logits, _ = enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg, train=False)
-    ppg = jax.lax.stop_gradient(enc_m.posteriors(enc_logits))
+    # frozen encoder can run in the compute dtype too (its posteriors are
+    # re-normalized in f32 by enc_m.posteriors' softmax)
+    enc_logits, _ = enc_m.apply(_cast_floats(enc_params, compute_dtype), enc_state,
+                                _cast_floats(mfcc, compute_dtype),
+                                cfg=enc_cfg, train=False)
+    ppg = jax.lax.stop_gradient(enc_m.posteriors(enc_logits.astype(jnp.float32)))
 
     f_mel = f_mel_schedule(ts["epoch"], cfg.target_mel_step2_val)
+    # keep the scheduled-mix scalar in the compute dtype so it doesn't
+    # silently promote step2's input back to f32
+    f_in = _cast_floats(f_mel, compute_dtype)
 
     def loss_fn(params):
         y_mel, y_stft, new_state = dec_m.apply(
-            params, ts["model_state"], ppg, cfg=cfg, train=True, rng=step_rng,
-            target_mel=target_mel, f_mel_pred=f_mel)
+            _cast_floats(params, compute_dtype), ts["model_state"],
+            _cast_floats(ppg, compute_dtype), cfg=cfg, train=True, rng=step_rng,
+            target_mel=_cast_floats(target_mel, compute_dtype), f_mel_pred=f_in)
+        y_mel = y_mel.astype(jnp.float32)
+        y_stft = y_stft.astype(jnp.float32)
         mel_loss = weighted_mse(y_mel, target_mel, loss_cfg.mel_loss_weight)
         stft_loss = weighted_mse(y_stft, target_stft, loss_cfg.stft_loss_weight)
         if loss_cfg.loss_type == "log":

@@ -266,3 +266,50 @@ def test_vocoded_augmentation():
     one = np.asarray(vocoded_power_window(p[0], cfg,
                                           key=jax.random.PRNGKey(2), n_iter=8))
     assert one.shape == p[0].shape
+
+
+def test_mixed_precision_train_steps():
+    """compute_dtype=bfloat16: master params/opt-state/BN stats stay f32,
+    loss decreases comparably to the f32 run, grads flow (cast-transpose)."""
+    cfg, _, ts0, mfcc, phn = _enc_setup()
+    opt_cfg = OptimizerConfig(learning_rate=5e-3)
+    opt = opt_cfg.make()
+
+    def run(compute_dtype, n=120):
+        ts = make_train_state(ts0["params"], ts0["model_state"], opt_cfg,
+                              jax.random.PRNGKey(1))
+        step = jax.jit(lambda t: encoder_train_step(
+            t, mfcc, phn, cfg=cfg, opt_cfg=opt_cfg, opt=opt,
+            compute_dtype=compute_dtype))
+        losses = []
+        for _ in range(n):
+            ts, m = step(ts)
+            losses.append(float(m["loss"]))
+        return ts, losses
+
+    ts_bf, l_bf = run(jnp.bfloat16)
+    ts_f32, l_f32 = run(None)
+
+    # every floating leaf of the train state stays f32 (master weights)
+    for leaf in jax.tree.leaves(ts_bf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    assert l_bf[-1] < l_bf[0] * 0.8, l_bf[::30]
+    # bf16 tracks the f32 trajectory to within a loose factor
+    assert l_bf[-1] < l_f32[-1] * 1.5 + 0.1, (l_bf[-1], l_f32[-1])
+
+    # decoder step runs under bf16 and decreases too
+    enc_cfg, enc_p, enc_s, dec_cfg, d_opt_cfg, dts, dmfcc, dmel, dstft = _dec_setup()
+    d_opt = d_opt_cfg.make()
+    dstep = jax.jit(lambda t: decoder_train_step(
+        t, dmfcc, dmel, dstft, enc_params=enc_p, enc_state=enc_s,
+        enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=DecoderLossConfig(),
+        opt_cfg=d_opt_cfg, opt=d_opt, compute_dtype=jnp.bfloat16))
+    dl = []
+    for _ in range(40):
+        dts, dm = dstep(dts)
+        dl.append(float(dm["loss"]))
+    assert dl[-1] < dl[0] * 0.8, dl[::10]
+    for leaf in jax.tree.leaves(dts):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
