@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--spk-vocoded-augment", type=float, default=0.0,
                     help="stage-3 vocoded-augmentation fraction "
                          "(train_speaker_id --vocoded-augment)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training for stages 1-2 "
+                         "(train_encoder/train_decoder --bf16)")
     ap.add_argument("--enc-epochs", type=int, default=50)
     ap.add_argument("--dec-epochs", type=int, default=300)
     ap.add_argument("--dec-prop-val", type=float, default=0.02)
@@ -97,6 +100,8 @@ def main(argv=None):
         enc_args += ["--enc-cfg", args.enc_cfg]
     if args.enc_steps is not None:
         enc_args += ["--max-steps", str(args.enc_steps)]
+    if args.bf16:
+        enc_args += ["--bf16"]
     run_stage("train_encoder", enc_args)
 
     # stage 2: target-speaker decoder against the frozen stage-1 encoder
@@ -115,6 +120,8 @@ def main(argv=None):
         dec_args += ["--dec-cfg", args.dec_cfg]
     if args.dec_steps is not None:
         dec_args += ["--max-steps", str(args.dec_steps)]
+    if args.bf16:
+        dec_args += ["--bf16"]
     run_stage("train_decoder", dec_args)
 
     # stage 3: speaker-ID verifier (voice_identification.py equivalent)
