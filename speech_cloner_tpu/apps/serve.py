@@ -1,0 +1,171 @@
+"""Persistent conversion server: amortize compilation across requests.
+
+The reference converts one file per process (`python test.py`, test.py:416-502)
+and pays its whole setup on every run; on a TPU runtime the XLA compile is
+the dominant per-process cost (minutes) while conversion itself runs at
+RTF ~0.006. This app keeps one warm process per chip: models load once,
+each window-count bucket compiles once (pipeline/clone._jitted_stages), and
+every subsequent request in that bucket converts at full device speed —
+~195× realtime per chip, scale horizontally with one process per chip.
+
+Two request modes:
+
+  stdin line protocol (one JSON result line per request on stdout):
+    echo '{"input": "a.wav"}' | python -m speech_cloner_tpu.apps.serve \
+        --enc-ckpt ... --dec-ckpt ... [--warm 10,60]
+    Request lines are either a bare path or {"input": path, "output": path}.
+
+  directory watcher:
+    python -m speech_cloner_tpu.apps.serve --watch ./inbox --output-dir ./out \
+        --enc-ckpt ... --dec-ckpt ...
+    Converts every new audio file appearing under --watch (results named
+    <stem>_pred.wav; already-converted files are skipped).
+
+--warm S1,S2,... pre-compiles the buckets for clips of those durations at
+startup so the first real request is already fast.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _result(pipe, feat_cfg, in_path: str, out_path: str, verify_ckpt=None,
+            target_spk=None, seed: int = 0) -> dict:
+    """Convert one file; return a JSON-friendly result record."""
+    import numpy as np
+
+    from ..data.audio_io import load_audio, write_riff_wav
+
+    sr = feat_cfg.sample_rate
+    wav = load_audio(in_path, sr)
+    dur = len(wav) / sr
+    t0 = time.perf_counter()
+    wav_pred, _, _, _ = pipe.convert(wav, seed=seed)
+    wall = time.perf_counter() - t0
+    write_riff_wav(out_path, wav_pred, sr, norm=True)
+    rec = {"input": in_path, "output": out_path,
+           "duration_s": round(dur, 3), "wall_s": round(wall, 3),
+           "rtf": round(wall / max(dur, 1e-9), 5)}
+    if verify_ckpt:
+        from ..pipeline.verify import verify_conversion
+
+        rec["verification"] = verify_conversion(
+            np.asarray(wav, np.float32), wav_pred, verify_ckpt, feat_cfg,
+            target_spk_id=target_spk)
+    return rec
+
+
+def main(argv=None):
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--enc-ckpt", required=True)
+    ap.add_argument("--dec-ckpt", required=True)
+    ap.add_argument("--enc-cfg")
+    ap.add_argument("--dec-cfg")
+    ap.add_argument("--ds-cfg")
+    ap.add_argument("--output-dir", default="./served")
+    ap.add_argument("--n-iter", type=int, default=200)
+    ap.add_argument("--realse", type=float, default=1.2)
+    ap.add_argument("--gl-momentum", type=float, default=0.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 model compute (f32 vocoder/softmax)")
+    ap.add_argument("--warm", default="",
+                    help="comma-separated clip durations (s) to pre-compile")
+    ap.add_argument("--watch", help="directory to watch instead of stdin")
+    ap.add_argument("--poll", type=float, default=1.0, help="watch poll seconds")
+    ap.add_argument("--max-requests", type=int, default=0,
+                    help="exit after N requests (0 = run forever; for tests)")
+    ap.add_argument("--verify-ckpt")
+    ap.add_argument("--target-spk")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import decoder as dec_m
+    from ..models import encoder as enc_m
+    from ..pipeline.clone import ClonePipeline
+    from ..runtime.config import feature_config_from_cfg_d, load_cfg_d
+    from .convert import load_decoder_weights
+    from .train_decoder import load_encoder_weights
+    from .train_encoder import DEFAULT_DS_CFG
+
+    ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
+    feat_cfg = feature_config_from_cfg_d(ds_cfg_d)
+    enc_cfg = (enc_m.config_from_cfg_d(load_cfg_d(args.enc_cfg))
+               if args.enc_cfg else enc_m.EncoderConfig())
+    dec_cfg = (dec_m.config_from_cfg_d(load_cfg_d(args.dec_cfg))
+               if args.dec_cfg else dec_m.DecoderConfig())
+    enc_params, enc_state = load_encoder_weights(args.enc_ckpt, enc_cfg)
+    dec_params, dec_state = load_decoder_weights(args.dec_ckpt, dec_cfg)
+    pipe = ClonePipeline(enc_cfg=enc_cfg, dec_cfg=dec_cfg, feat_cfg=feat_cfg,
+                         enc_params=enc_params, enc_state=enc_state,
+                         dec_params=dec_params, dec_state=dec_state,
+                         n_iter=args.n_iter, realse=args.realse,
+                         gl_momentum=args.gl_momentum,
+                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    sr = feat_cfg.sample_rate
+    for dur_s in (float(x) for x in args.warm.split(",") if x):
+        t0 = time.perf_counter()
+        pipe.convert(np.zeros(int(dur_s * sr), np.float32) + 1e-4)
+        print(json.dumps({"warmed_s": dur_s,
+                          "compile_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+
+    def out_path_for(in_path: str, explicit: str | None) -> str:
+        if explicit:
+            return explicit
+        stem = os.path.splitext(os.path.basename(in_path))[0]
+        return os.path.join(args.output_dir, f"{stem}_pred.wav")
+
+    def handle(in_path: str, explicit_out: str | None = None):
+        try:
+            rec = _result(pipe, feat_cfg, in_path, out_path_for(in_path, explicit_out),
+                          verify_ckpt=args.verify_ckpt, target_spk=args.target_spk)
+        except Exception as e:  # a bad request must not kill the server
+            rec = {"input": in_path, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(rec), flush=True)
+
+    n_done = 0
+    if args.watch:
+        print(json.dumps({"watching": args.watch, "output_dir": args.output_dir}),
+              flush=True)
+        seen: set[str] = set()
+        while True:
+            for name in sorted(os.listdir(args.watch)):
+                p = os.path.join(args.watch, name)
+                if (p in seen or not os.path.isfile(p)
+                        or name.endswith("_pred.wav")):
+                    continue
+                seen.add(p)
+                handle(p)
+                n_done += 1
+                if args.max_requests and n_done >= args.max_requests:
+                    return
+            time.sleep(args.poll)
+    else:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                req = json.loads(line)
+                handle(req["input"], req.get("output"))
+            else:
+                handle(line)
+            n_done += 1
+            if args.max_requests and n_done >= args.max_requests:
+                return
+
+
+if __name__ == "__main__":
+    main()

@@ -204,3 +204,66 @@ def test_train_full_pipeline(timit_root, arctic_root, tmp_path):
                "--enc-cfg", enc_cfg, "--dec-cfg", dec_cfg_p, "--ds-cfg", ds_cfg,
                "--n-iter", "4", "--t-e", "1"])
     assert os.path.exists(os.path.join(out_dir, "in_pred.wav"))
+
+
+def test_serve_app_stdin(timit_root, arctic_root, tmp_path, monkeypatch, capsys):
+    """Persistent server: two stdin requests through one warm pipeline —
+    the second same-bucket request reuses the compiled programs."""
+    import glob
+    import io
+
+    from speech_cloner_tpu.apps.serve import main as serve_main
+    from speech_cloner_tpu.apps.train_decoder import main as dec_main
+    from speech_cloner_tpu.apps.train_encoder import main as enc_main
+
+    ds_cfg = _small_ds_cfg(tmp_path)
+    enc_cfg = _small_enc_cfg(tmp_path)
+    enc_path = str(tmp_path / "enc_ckpt")
+    enc_main(["--ds-path", timit_root, "--model-path", enc_path,
+              "--log-dir", str(tmp_path / "el"), "--ds-cfg", ds_cfg,
+              "--enc-cfg", enc_cfg, "--batch-size", "2", "--max-steps", "2"])
+    dec_cfg = {
+        "model_name": "decoder", "input_shape": [40, 61],
+        "steps_v": [
+            {"embed_size": 32, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 20},
+            {"embed_size": 48, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 201},
+        ],
+        "dropout_rate": 0.1, "use_lstm": False, "learning_rate": 1e-3,
+        "decay": 1e-3, "mel_loss_weight": 400, "stft_loss_weight": 400,
+        "loss_type": "sum", "use_target_mel_step2": False,
+        "target_mel_step2_val": 500,
+    }
+    dec_cfg_p = str(tmp_path / "dec_serve_cfg.json")
+    with open(dec_cfg_p, "w") as f:
+        json.dump(dec_cfg, f)
+    dec_path = str(tmp_path / "dec_ckpt")
+    dec_main(["--ds-path", arctic_root, "--spk-id", "slt",
+              "--enc-ckpt", enc_path, "--enc-cfg", enc_cfg,
+              "--dec-cfg", dec_cfg_p, "--ds-cfg", ds_cfg,
+              "--model-path", dec_path, "--log-dir", str(tmp_path / "dl"),
+              "--batch-size", "2", "--max-steps", "2", "--prop-val", "0.34"])
+
+    wavs = sorted(glob.glob(os.path.join(arctic_root, "**", "*.wav"),
+                            recursive=True))[:1]
+    assert len(wavs) == 1
+    out_dir = str(tmp_path / "served")
+    # same clip twice: the second request must hit the compiled bucket
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        wavs[0] + "\n"
+        + json.dumps({"input": wavs[0],
+                      "output": str(tmp_path / "served" / "again.wav")}) + "\n"))
+    serve_main(["--enc-ckpt", enc_path, "--dec-ckpt", dec_path,
+                "--enc-cfg", enc_cfg, "--dec-cfg", dec_cfg_p,
+                "--ds-cfg", ds_cfg, "--output-dir", out_dir,
+                "--n-iter", "4", "--max-requests", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{") and "input" in l]
+    assert len(lines) == 2
+    for rec in lines:
+        assert "error" not in rec, rec
+        assert os.path.exists(rec["output"])
+        assert rec["rtf"] > 0
+    # same bucket -> compiled once; the second request must be much faster
+    assert lines[1]["wall_s"] < lines[0]["wall_s"]
