@@ -78,6 +78,10 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training: bf16 forward/backward on "
                          "the MXU, f32 master weights/Adam/BN stats/loss")
+    ap.add_argument("--fused-gru", action="store_true",
+                    help="direction-fused GRU scan: T sequential steps "
+                         "instead of 2T (identical math; trades one bigger "
+                         "compile for lower scan latency every step)")
     ap.add_argument("--loader", choices=("auto", "h5py", "native", "device"),
                     default="auto",
                     help="batch assembly: device = whole corpus resident in "
@@ -108,6 +112,14 @@ def main(argv=None):
                                   input_dim=enc_cfg.n_output)
         opt_cfg = OptimizerConfig()
         loss_cfg = DecoderLossConfig()
+    if args.fused_gru:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            step1=dataclasses.replace(cfg.step1, fused_gru=True),
+            step2=dataclasses.replace(cfg.step2, fused_gru=True))
+        enc_cfg = dataclasses.replace(enc_cfg, fused_gru=True)
 
     if args.ds_kind == "arctic":
         from ..data.arctic import ARCTIC

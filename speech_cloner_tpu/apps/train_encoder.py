@@ -72,6 +72,10 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training: bf16 forward/backward on "
                          "the MXU, f32 master weights/Adam/BN stats/loss")
+    ap.add_argument("--fused-gru", action="store_true",
+                    help="direction-fused GRU scan: T sequential steps "
+                         "instead of 2T (identical math; trades one bigger "
+                         "compile for lower scan latency every step)")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -88,6 +92,10 @@ def main(argv=None):
         cfg = enc_m.EncoderConfig(n_timesteps=ds_cfg_d["n_timesteps"],
                                   input_dim=feat_cfg.input_dim)
         opt_cfg = OptimizerConfig()
+    if args.fused_gru:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_gru=True)
 
     ds = TIMIT(args.ds_path, feat_cfg, n_timesteps=cfg.n_timesteps,
                ds_norm=tuple(ds_cfg_d.get("ds_norm", (0.0, 10.0))), verbose=True)

@@ -27,10 +27,12 @@ class DecoderStepConfig:
     num_conv_banks: int
     num_highwaynet_blocks: int
     n_output: int
+    fused_gru: bool = False  # direction-fused GRU scan (nn/modules.py)
 
     @property
     def cbhg(self) -> CBHGConfig:
-        return CBHGConfig(self.embed_size, self.num_conv_banks, self.num_highwaynet_blocks)
+        return CBHGConfig(self.embed_size, self.num_conv_banks,
+                          self.num_highwaynet_blocks, fused_gru=self.fused_gru)
 
 
 @dataclasses.dataclass(frozen=True)

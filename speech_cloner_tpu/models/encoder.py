@@ -37,6 +37,7 @@ class EncoderConfig:
     num_highwaynet_blocks: int = 1
     dropout_rate: float = 0.4
     use_lstm: bool = False
+    fused_gru: bool = False  # direction-fused GRU scan (nn/modules.py)
 
     @property
     def embed(self) -> int:
@@ -49,6 +50,7 @@ class EncoderConfig:
             num_banks=self.num_conv_banks,
             num_highway=self.num_highwaynet_blocks,
             use_lstm=self.use_lstm,
+            fused_gru=self.fused_gru,
         )
 
 

@@ -256,19 +256,26 @@ def gru_apply(params, x):
 
 
 def gru_apply_fused(params, x):
-    """Bidirectional GRU with both directions in ONE scan (direction-stacked
-    recurrent weights, batched einsum): T sequential steps instead of 2T.
+    """Bidirectional GRU with both directions in ONE scan: T sequential steps
+    instead of 2T, halving the scan-latency floor that dominates the train
+    step once the MXU work runs in bf16 (docs/DESIGN.md roofline).
 
-    NOT the default: measured on the current v5e toolchain, the einsum-in-scan
-    form compiles pathologically slowly (>9 min for the full decoder vs ~3 min
-    with two scans) while the runtime difference is negligible because the
-    vocoder dominates. Kept for toolchains where compile cost is amortized.
+    Form: the two directions' hidden states are concatenated on the feature
+    axis (h [B, 2H]) and the recurrent weights are packed BLOCK-DIAGONALLY
+    ([2H, 4H] / [2H, 2H]), so the scan body is one plain h @ W matmul — the
+    same op shape XLA already compiles well for the unfused scan. (An earlier
+    direction-stacked einsum form compiled pathologically on the v5e
+    toolchain, >9 min; the block-diagonal matmul wastes half its FLOPs on
+    structural zeros but these matmuls are latency-bound, not FLOP-bound.)
+    Gate math/order identical to _gru_dir_apply (TF [r, u], h' = u*h +
+    (1-u)*c, modules.py:168-243).
     """
     if "bw" not in params:
         return _gru_dir_apply(params["fw"], x)
     fw, bw = params["fw"], params["bw"]
     B, T, C = x.shape
     H = fw["candidate_kernel"].shape[1]
+    dt = x.dtype
     xr = x[:, ::-1, :]
 
     def io_proj(p, xx):
@@ -276,24 +283,33 @@ def gru_apply_fused(params, x):
         cx = xx @ p["candidate_kernel"][:C] + p["candidate_bias"]
         return gx, cx
 
-    gx_f, cx_f = io_proj(fw, x)
+    gx_f, cx_f = io_proj(fw, x)       # [B, T, 2H] / [B, T, H]
     gx_b, cx_b = io_proj(bw, xr)
-    gx = jnp.stack([gx_f, gx_b], 0).transpose(2, 0, 1, 3)  # [T, 2, B, 2H]
-    cx = jnp.stack([cx_f, cx_b], 0).transpose(2, 0, 1, 3)  # [T, 2, B, H]
-    Wg_h = jnp.stack([fw["gates_kernel"][C:], bw["gates_kernel"][C:]], 0)      # [2, H, 2H]
-    Wc_h = jnp.stack([fw["candidate_kernel"][C:], bw["candidate_kernel"][C:]], 0)
+    gx = jnp.concatenate([gx_f, gx_b], -1).transpose(1, 0, 2)  # [T, B, 4H]
+    cx = jnp.concatenate([cx_f, cx_b], -1).transpose(1, 0, 2)  # [T, B, 2H]
 
-    def step(h, inputs):
+    def blockdiag(a, b):
+        za = jnp.zeros_like(a)
+        zb = jnp.zeros_like(b)
+        return jnp.concatenate([jnp.concatenate([a, za], 1),
+                                jnp.concatenate([zb, b], 1)], 0)
+
+    Wg = blockdiag(fw["gates_kernel"][C:], bw["gates_kernel"][C:])          # [2H, 4H]
+    Wc = blockdiag(fw["candidate_kernel"][C:], bw["candidate_kernel"][C:])  # [2H, 2H]
+
+    def step(h, inputs):                    # h [B, 2H] = [fw | bw]
         gx_t, cx_t = inputs
-        ru = jax.nn.sigmoid(gx_t + jnp.einsum("dbh,dhk->dbk", h, Wg_h))
-        r, u = ru[..., :H], ru[..., H:]
-        c = jnp.tanh(cx_t + jnp.einsum("dbh,dhk->dbk", r * h, Wc_h))
-        return u * h + (1.0 - u) * c, u * h + (1.0 - u) * c
+        ru = jax.nn.sigmoid(gx_t + h @ Wg)  # [B, 4H] = [fw r,u | bw r,u]
+        r = jnp.concatenate([ru[:, :H], ru[:, 2 * H:3 * H]], -1)
+        u = jnp.concatenate([ru[:, H:2 * H], ru[:, 3 * H:]], -1)
+        c = jnp.tanh(cx_t + (r * h) @ Wc)
+        h2 = u * h + (1.0 - u) * c
+        return h2, h2
 
-    h0 = jnp.zeros((2, B, H), dtype=x.dtype) + 0.0 * x[:1, :, 0][None, :, :1]
-    _, ys = jax.lax.scan(step, h0, (gx, cx))         # ys [T, 2, B, H]
-    fw_out = ys[:, 0].transpose(1, 0, 2)
-    bw_out = ys[:, 1].transpose(1, 0, 2)[:, ::-1, :]
+    h0 = jnp.zeros((B, 2 * H), dtype=dt)
+    _, ys = jax.lax.scan(step, h0, (gx, cx))              # [T, B, 2H]
+    fw_out = ys[:, :, :H].transpose(1, 0, 2)
+    bw_out = ys[:, :, H:].transpose(1, 0, 2)[:, ::-1, :]
     return jnp.concatenate([fw_out, bw_out], axis=2)
 
 
@@ -360,6 +376,7 @@ class CBHGConfig:
     num_banks: int
     num_highway: int
     use_lstm: bool = False
+    fused_gru: bool = False  # one direction-fused scan (T steps, not 2T)
 
 
 def cbhg_init(key, cfg: CBHGConfig, in_dim=None):
@@ -397,6 +414,8 @@ def cbhg_apply(params, state, x, *, cfg: CBHGConfig, train: bool):
     h = h + x  # residual (modules.py:340)
     for hw in params["highway"]:
         h = highway_apply(hw, h)
-    out = (lstm_apply if cfg.use_lstm else gru_apply)(params["gru"], h)
+    rnn = lstm_apply if cfg.use_lstm else (
+        gru_apply_fused if cfg.fused_gru else gru_apply)
+    out = rnn(params["gru"], h)
     new_state = {"banks": banks_state, "bn1": bn1_state, "bn2": bn2_state}
     return out, new_state

@@ -141,3 +141,43 @@ def test_reference_cfg_construction():
         dec_cfg = decoder.config_from_cfg_d(json.load(f))
     assert dec_cfg.step1.n_output == 80 and dec_cfg.step2.n_output == 201
     assert dec_cfg.step2.embed_size == 512
+
+
+def test_fused_gru_model_parity():
+    """fused_gru=True is a pure execution-strategy switch: identical params,
+    same outputs (encoder logits and decoder spectrograms) to fp tolerance."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_cloner_tpu.models import decoder as dec_m
+    from speech_cloner_tpu.models import encoder as enc_m
+
+    rng = np.random.default_rng(3)
+    enc_cfg = enc_m.EncoderConfig(n_timesteps=24, input_dim=12, n_output=61,
+                                  num_conv_banks=2, num_highwaynet_blocks=1)
+    params, state = enc_m.init(jax.random.PRNGKey(0), enc_cfg)
+    x = jnp.asarray(rng.standard_normal((2, 24, 12)), jnp.float32)
+    y0, _ = enc_m.apply(params, state, x, cfg=enc_cfg, train=False)
+    y1, _ = enc_m.apply(params, state, x,
+                        cfg=dataclasses.replace(enc_cfg, fused_gru=True),
+                        train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+    dec_cfg = dec_m.DecoderConfig(
+        n_timesteps=24, input_dim=61,
+        step1=dec_m.DecoderStepConfig(16, 2, 1, 10),
+        step2=dec_m.DecoderStepConfig(24, 2, 1, 21))
+    dp, ds = dec_m.init(jax.random.PRNGKey(1), dec_cfg)
+    ppg = jax.nn.softmax(jnp.asarray(rng.standard_normal((2, 24, 61)), jnp.float32))
+    m0, s0, _ = dec_m.apply(dp, ds, ppg, cfg=dec_cfg, train=False)
+    fused = dataclasses.replace(
+        dec_cfg,
+        step1=dataclasses.replace(dec_cfg.step1, fused_gru=True),
+        step2=dataclasses.replace(dec_cfg.step2, fused_gru=True))
+    m1, s1, _ = dec_m.apply(dp, ds, ppg, cfg=fused, train=False)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-5)

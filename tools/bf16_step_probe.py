@@ -52,13 +52,26 @@ def main():
     stft = jnp.asarray(rng.standard_normal(
         (B, dec_cfg.n_timesteps, dec_cfg.step2.n_output)), jnp.float32)
 
-    for name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
+    import dataclasses
+
+    fused_dec = dataclasses.replace(
+        dec_cfg,
+        step1=dataclasses.replace(dec_cfg.step1, fused_gru=True),
+        step2=dataclasses.replace(dec_cfg.step2, fused_gru=True))
+    fused_enc = dataclasses.replace(enc_cfg, fused_gru=True)
+
+    combos = (("f32", None, False), ("bf16", jnp.bfloat16, False),
+              ("f32+fused", None, True), ("bf16+fused", jnp.bfloat16, True))
+    for name, cd, fused in combos:
+        dcfg = fused_dec if fused else dec_cfg
+        ecfg = fused_enc if fused else enc_cfg
         dec_params, dec_state = dec_m.init(jax.random.PRNGKey(2), dec_cfg)
         ts = make_train_state(dec_params, dec_state, opt_cfg, jax.random.PRNGKey(3))
-        fn = jax.jit(lambda t, xx, mm, ss: decoder_train_step(
-            t, xx, mm, ss, enc_params=enc_params, enc_state=enc_state,
-            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
-            opt_cfg=opt_cfg, opt=opt, compute_dtype=cd))
+        fn = jax.jit(lambda t, xx, mm, ss, dcfg=dcfg, ecfg=ecfg, cd=cd:
+                     decoder_train_step(
+                         t, xx, mm, ss, enc_params=enc_params, enc_state=enc_state,
+                         enc_cfg=ecfg, cfg=dcfg, loss_cfg=loss_cfg,
+                         opt_cfg=opt_cfg, opt=opt, compute_dtype=cd))
         t0 = time.perf_counter()
         ts, m = fn(ts, x, mel, stft)
         float(m["loss"])
