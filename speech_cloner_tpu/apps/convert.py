@@ -62,6 +62,8 @@ def main(argv=None):
     ap.add_argument("--realse", type=float, default=1.2)
     ap.add_argument("--gl-momentum", type=float, default=0.0,
                     help="Fast Griffin-Lim momentum (0 = reference algorithm)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 model compute (f32 vocoder/softmax)")
     ap.add_argument("--save-true", action="store_true")
     ap.add_argument("--verify-ckpt",
                     help="speaker-ID model dir: classify source vs converted "
@@ -88,11 +90,14 @@ def main(argv=None):
 
     from ..pipeline.clone import ClonePipeline
 
+    import jax.numpy as jnp
+
     pipe = ClonePipeline(enc_cfg=enc_cfg, dec_cfg=dec_cfg, feat_cfg=feat_cfg,
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, realse=args.realse,
-                         gl_momentum=args.gl_momentum)
+                         gl_momentum=args.gl_momentum,
+                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     if not os.path.exists(args.input):
         raise SystemExit(f"error: input file not found: {args.input}")

@@ -127,7 +127,17 @@ def load_audio(path: str, sample_rate: int = 16000, use_native: bool = True) -> 
 
 def write_riff_wav(path: str, y: np.ndarray, sample_rate: int, norm: bool = True):
     """float wav -> 16-bit RIFF (librosa.output.write_wav parity incl. the
-    norm=True peak normalization used at test.py:177-179)."""
+    norm=True peak normalization used at test.py:177-179). int16 input is
+    written as-is (already-normalized device PCM, ClonePipeline.convert_pcm16)."""
+    y = np.asarray(y)
+    if y.dtype == np.int16:
+        pcm = y.astype("<i2")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        return
     y = np.asarray(y, np.float32)
     if norm and np.abs(y).max() > 0:
         y = y / np.abs(y).max()

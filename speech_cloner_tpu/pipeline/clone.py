@@ -227,6 +227,30 @@ class ClonePipeline:
         return (np.asarray(wav_pred), np.asarray(mel_pred),
                 np.asarray(stft_pred), np.asarray(ppg))
 
+    def convert_pcm16(self, wav: np.ndarray, seed: int = 0) -> np.ndarray:
+        """Serving fast path: waveform in, peak-normalized int16 PCM out.
+
+        Only the output PCM crosses the device boundary — `convert` also
+        fetches mel/stft/ppg (~16 MB for a 60 s clip through a remote
+        tunnel), which a serving request never needs.
+        """
+        T = self.enc_cfg.n_timesteps
+        spw = T * self.feat_cfg.hop_length
+        L = wav.shape[0]
+        pad = (-L) % spw
+        if L + pad < spw:
+            pad = spw - L
+        wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
+        key = ("pcm16", id(self.enc_params), id(self.dec_params), self.n_iter,
+               self.realse, self.gl_momentum, wav_p.shape[0])
+        fns = _JIT_CACHE.get(key)
+        if fns is None:
+            fns = (jax.jit(self.device_predict), jax.jit(self.device_vocode_pcm16))
+            _JIT_CACHE[key] = fns
+        predict_fn, vocode_fn = fns
+        _, stft_pred, _ = predict_fn(jnp.asarray(wav_p))
+        return np.asarray(vocode_fn(stft_pred, jax.random.PRNGKey(seed)))
+
 
 _JIT_CACHE: dict[tuple, object] = {}
 

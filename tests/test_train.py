@@ -313,3 +313,35 @@ def test_mixed_precision_train_steps():
     for leaf in jax.tree.leaves(dts):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_distributed_bf16_fused_train_step_8dev():
+    """The recommended production config (--bf16 --fused-gru) under the
+    (data=4, model=2) mesh: compiles, runs, TP sharding intact."""
+    import dataclasses
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(n_data=4, n_model=2)
+    enc_cfg, enc_params, enc_state, dec_cfg, opt_cfg, ts, mfcc, mel, stft = _dec_setup(B=8)
+    dec_cfg = dataclasses.replace(
+        dec_cfg,
+        step1=dataclasses.replace(dec_cfg.step1, fused_gru=True),
+        step2=dataclasses.replace(dec_cfg.step2, fused_gru=True))
+    enc_cfg = dataclasses.replace(enc_cfg, fused_gru=True)
+    opt = opt_cfg.make()
+    with mesh:
+        ts = {**ts, "params": shard_params(ts["params"], mesh),
+              "model_state": shard_state(ts["model_state"], mesh)}
+        enc_params = shard_params(enc_params, mesh)
+        enc_state = shard_state(enc_state, mesh)
+        bsh = batch_sharding(mesh)
+        mfcc, mel, stft = (jax.device_put(a, bsh) for a in (mfcc, mel, stft))
+        step = jax.jit(lambda t, a, b, c: decoder_train_step(
+            t, a, b, c, enc_params=enc_params, enc_state=enc_state,
+            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=DecoderLossConfig(),
+            opt_cfg=opt_cfg, opt=opt, compute_dtype=jnp.bfloat16))
+        ts2, m = step(ts, mfcc, mel, stft)
+        assert np.isfinite(float(m["loss"]))
+        k0 = ts2["params"]["step2"]["CBHG"]["banks"]["kernels"][0]
+        assert "model" in str(k0.sharding.spec)
+        assert k0.dtype == jnp.float32  # master weights stay f32
