@@ -165,3 +165,40 @@ def test_bf16_compute_mode_close_to_f32():
     assert mel16.dtype == jnp.float32
     assert float(jnp.max(jnp.abs(mel16 - mel32))) < 0.08
     assert float(jnp.max(jnp.abs(ppg16 - ppg32))) < 0.08
+
+
+def test_convert_pcm16_matches_convert():
+    """The serving fast path returns exactly the int16 PCM that
+    write_riff_wav(norm=True) would produce from convert()'s float wav."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_cloner_tpu.models import decoder as dec_m
+    from speech_cloner_tpu.models import encoder as enc_m
+    from speech_cloner_tpu.ops import FeatureConfig
+    from speech_cloner_tpu.pipeline.clone import ClonePipeline
+
+    feat_cfg = FeatureConfig(calc_mfcc_derivate=True)
+    enc_cfg = enc_m.EncoderConfig(n_timesteps=40, input_dim=80, n_output=61,
+                                  num_conv_banks=2, num_highwaynet_blocks=1)
+    dec_cfg = dec_m.DecoderConfig(
+        n_timesteps=40, input_dim=61,
+        step1=dec_m.DecoderStepConfig(16, 2, 1, 20),
+        step2=dec_m.DecoderStepConfig(24, 2, 1, 201))
+    ep, es = enc_m.init(jax.random.PRNGKey(0), enc_cfg)
+    dp, ds = dec_m.init(jax.random.PRNGKey(1), dec_cfg)
+    pipe = ClonePipeline(enc_cfg=enc_cfg, dec_cfg=dec_cfg, feat_cfg=feat_cfg,
+                         enc_params=ep, enc_state=es, dec_params=dp,
+                         dec_state=ds, n_iter=4)
+
+    rng = np.random.default_rng(7)
+    wav = rng.standard_normal(40 * feat_cfg.hop_length).astype(np.float32)
+
+    wav_f, _, _, _ = pipe.convert(wav, seed=3)
+    pcm = pipe.convert_pcm16(wav, seed=3)
+    assert pcm.dtype == np.int16 and pcm.shape == wav_f.shape
+    peak = max(np.abs(wav_f).max(), 1e-9)
+    expect = np.clip(wav_f / peak * 32767.0, -32768, 32767).astype(np.int16)
+    # identical device math; allow 1 LSB for the separate round/clip path
+    assert np.abs(pcm.astype(np.int32) - expect.astype(np.int32)).max() <= 1
