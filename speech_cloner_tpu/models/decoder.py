@@ -28,11 +28,14 @@ class DecoderStepConfig:
     num_highwaynet_blocks: int
     n_output: int
     fused_gru: bool = False  # direction-fused GRU scan (nn/modules.py)
+    use_lstm: bool = False   # the reference forwards cfg_d['use_lstm'] into
+                             # BOTH CBHG stacks (decoder.py:123, :175)
 
     @property
     def cbhg(self) -> CBHGConfig:
         return CBHGConfig(self.embed_size, self.num_conv_banks,
-                          self.num_highwaynet_blocks, fused_gru=self.fused_gru)
+                          self.num_highwaynet_blocks, use_lstm=self.use_lstm,
+                          fused_gru=self.fused_gru)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +49,9 @@ class DecoderConfig:
     dropout_rate: float = 0.1
     use_target_mel_step2: bool = False
     target_mel_step2_val: float = 500.0
-    use_lstm: bool = False
+    use_lstm: bool = False  # informational mirror of cfg_d['use_lstm']; the
+                            # per-step use_lstm flags govern the stacks
+                            # (config_from_cfg_d sets both)
 
 
 def _step_init(key, in_dim, step: DecoderStepConfig):
@@ -105,12 +110,15 @@ def config_from_cfg_d(cfg_d: dict[str, Any]) -> DecoderConfig:
     t, e = cfg_d["input_shape"]
     s1, s2 = cfg_d["steps_v"]
 
+    use_lstm = bool(cfg_d.get("use_lstm", False))
+
     def step(d, default_embed):
         return DecoderStepConfig(
             embed_size=d["embed_size"] if d["embed_size"] is not None else default_embed,
             num_conv_banks=d["num_conv_banks"],
             num_highwaynet_blocks=d["num_highwaynet_blocks"],
             n_output=d["n_output"],
+            use_lstm=use_lstm,
         )
 
     return DecoderConfig(

@@ -181,3 +181,32 @@ def test_fused_gru_model_parity():
     m1, s1, _ = dec_m.apply(dp, ds, ppg, cfg=fused, train=False)
     np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-5)
+
+
+def test_decoder_use_lstm_forwarded_to_stacks():
+    """cfg_d['use_lstm'] must reach BOTH CBHG stacks (the reference passes it
+    at decoder.py:123 and :175); a GRU tree has gates/candidate kernels, an
+    LSTM tree one fused [in+H, 4H] kernel."""
+    import jax
+
+    from speech_cloner_tpu.models import decoder as dec_m
+
+    cfg_d = {"input_shape": [16, 61], "use_lstm": True,
+             "steps_v": [
+                 {"embed_size": 16, "num_conv_banks": 2,
+                  "num_highwaynet_blocks": 1, "n_output": 10},
+                 {"embed_size": 16, "num_conv_banks": 2,
+                  "num_highwaynet_blocks": 1, "n_output": 21}]}
+    cfg = dec_m.config_from_cfg_d(cfg_d)
+    assert cfg.step1.use_lstm and cfg.step2.use_lstm
+    params, state = dec_m.init(jax.random.PRNGKey(0), cfg)
+    for stepname in ("step1", "step2"):
+        gru = params[stepname]["CBHG"]["gru"]
+        assert "kernel" in gru["fw"], f"{stepname} built a GRU, not an LSTM"
+    import jax.numpy as jnp
+    import numpy as np
+
+    ppg = jax.nn.softmax(jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 61)), jnp.float32))
+    y_mel, y_stft, _ = dec_m.apply(params, state, ppg, cfg=cfg, train=False)
+    assert y_mel.shape == (2, 16, 10) and y_stft.shape == (2, 16, 21)
