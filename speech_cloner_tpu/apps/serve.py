@@ -148,12 +148,21 @@ def main(argv=None):
         print(json.dumps({"watching": args.watch, "output_dir": args.output_dir}),
               flush=True)
         seen: set[str] = set()
+        settling: dict[str, tuple] = {}  # path -> (size, mtime) at last poll
         while True:
             for name in sorted(os.listdir(args.watch)):
                 p = os.path.join(args.watch, name)
                 if (p in seen or not os.path.isfile(p)
                         or name.endswith("_pred.wav")):
                     continue
+                # convert only once (size, mtime) is stable across two polls —
+                # a file still being copied in would otherwise be read truncated
+                st = os.stat(p)
+                sig = (st.st_size, st.st_mtime)
+                if settling.get(p) != sig:
+                    settling[p] = sig
+                    continue
+                settling.pop(p, None)
                 seen.add(p)
                 handle(p)
                 n_done += 1

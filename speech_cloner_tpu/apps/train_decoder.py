@@ -184,8 +184,12 @@ def main(argv=None):
     # device: whole filtered corpus resident in HBM, windows cropped on
     # device, per-step transfer = two int32 vectors. native: C++ mmap gather.
     use_device = use_native = False
+    # DeviceWindows pads every utterance to the corpus max length, so the
+    # footprint is n_utts * F_max * C — NOT the sum of actual frames (one
+    # long clip among short ones inflates the real buffers many-fold)
+    frames_v = [len(w) // feat_cfg.hop_length + 1 for w in ds.ds["wav"][f]]
     est_bytes = 4 * (feat_cfg.input_dim + feat_cfg.n_mels + feat_cfg.n_stft) * \
-        sum(len(w) // feat_cfg.hop_length + 1 for w in ds.ds["wav"][f])
+        len(frames_v) * max(frames_v, default=0)
     if args.loader == "device" or (args.loader == "auto" and est_bytes < 4e9):
         use_device = True
     elif args.loader != "h5py":

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -104,8 +105,10 @@ def main(argv=None):
     import numpy as np
 
     use_device = use_native = False
-    est_bytes = 4 * (feat_cfg.input_dim + 61) * sum(
-        len(w) // feat_cfg.hop_length + 1 for w in ds.ds["wav"])
+    # padded footprint: DeviceWindows pads every utterance to the corpus max
+    frames_v = [len(w) // feat_cfg.hop_length + 1 for w in ds.ds["wav"]]
+    est_bytes = 4 * (feat_cfg.input_dim + 61) * \
+        len(frames_v) * max(frames_v, default=0)
     if args.loader == "device" or (args.loader == "auto" and est_bytes < 4e9):
         use_device = True
     elif args.loader != "h5py":
@@ -242,13 +245,15 @@ def main(argv=None):
         """Validation confusion matrix at save cadence — the reference's
         TensorBoard confusion image (encoder.py:152-158) as an .npy artifact
         plus a top-confused-pairs line."""
-        from ..runtime.logging import MetricsWriter
         from ..train.evaluate import eval_confusion, top_confusions
 
         sampler = host_batches({"ds_type": "TEST"})
         cm = eval_confusion(ts_now["params"], ts_now["model_state"], sampler,
                             cfg=cfg, max_batches=8)
-        MetricsWriter(args.log_dir, "val").write_array(step_now, "confusion", cm)
+        # plain npy dump — a MetricsWriter here would open (and leak) another
+        # append handle to the val.jsonl the run_training writer already owns
+        np.save(os.path.join(args.log_dir, f"confusion_{int(step_now)}.npy"),
+                np.asarray(cm))
         pairs = top_confusions(cm, ds.idx2phn, k=5)
         if pairs:
             print("   top confusions: " + ", ".join(

@@ -307,7 +307,8 @@ def gru_apply_fused(params, x):
         return h2, h2
 
     h0 = jnp.zeros((B, 2 * H), dtype=dt)
-    _, ys = jax.lax.scan(step, h0, (gx, cx))              # [T, B, 2H]
+    _, ys = jax.lax.scan(step, h0, (gx, cx),
+                         unroll=GRU_SCAN_UNROLL)          # [T, B, 2H]
     fw_out = ys[:, :, :H].transpose(1, 0, 2)
     bw_out = ys[:, :, H:].transpose(1, 0, 2)[:, ::-1, :]
     return jnp.concatenate([fw_out, bw_out], axis=2)

@@ -242,7 +242,8 @@ class ClonePipeline:
             pad = spw - L
         wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
         key = ("pcm16", id(self.enc_params), id(self.dec_params), self.n_iter,
-               self.realse, self.gl_momentum, wav_p.shape[0])
+               self.realse, self.gl_momentum, self.compute_dtype,
+               wav_p.shape[0])
         fns = _JIT_CACHE.get(key)
         if fns is None:
             fns = (jax.jit(self.device_predict), jax.jit(self.device_vocode_pcm16))
@@ -257,7 +258,7 @@ _JIT_CACHE: dict[tuple, object] = {}
 
 def _jitted_batch(p: ClonePipeline, shape):
     cache_key = ("batch", id(p.enc_params), id(p.dec_params), p.n_iter,
-                 p.realse, p.gl_momentum, shape)
+                 p.realse, p.gl_momentum, p.compute_dtype, shape)
     fn = _JIT_CACHE.get(cache_key)
     if fn is None:
         fn = jax.jit(p.device_convert_batch)
@@ -268,7 +269,7 @@ def _jitted_batch(p: ClonePipeline, shape):
 def _jitted_stages(p: ClonePipeline, length: int):
     """Two compiled programs (predict, vocode) per (config, length) bucket."""
     cache_key = (id(p.enc_params), id(p.dec_params), p.n_iter, p.realse,
-                 p.gl_momentum, length)
+                 p.gl_momentum, p.compute_dtype, length)
     fns = _JIT_CACHE.get(cache_key)
     if fns is None:
         fns = (jax.jit(p.device_predict), jax.jit(p.device_vocode))

@@ -22,13 +22,24 @@ from ..ops import mfcc_input
 from ..runtime.checkpoint import Checkpointer
 
 
+_MODEL_CACHE: dict = {}  # (abspath, latest_step) -> loaded model
+_APPLY_CACHE: dict = {}  # cfg -> jitted forward
+
+
 def load_speaker_model(model_path: str):
     """Restore (params, state, cfg, spk_id_v) from a train_speaker_id dir.
 
     The speaker-class mapping is read from the config sidecar the trainer
-    snapshots next to the weights (speaker_id_cfg_d.json).
+    snapshots next to the weights (speaker_id_cfg_d.json). Cached per
+    (path, latest step): a verification server calls this per request, and
+    re-reading the npz every time is pure waste (a newly saved step
+    invalidates the entry naturally).
     """
     ck = Checkpointer(model_path, "speaker_id")
+    cache_key = (os.path.abspath(model_path), ck.latest_step())
+    hit = _MODEL_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     tree, step = ck.restore()
     if tree is None:
         raise FileNotFoundError(f"no speaker_id checkpoint under {model_path}")
@@ -40,7 +51,9 @@ def load_speaker_model(model_path: str):
         n_features=int(cfg_d["n_features"]),
         n_output=int(cfg_d["n_output"]))
     spk_id_v = list(cfg_d["spk_id_v"])
-    return tree["params"], tree["model_state"], cfg, spk_id_v
+    out = (tree["params"], tree["model_state"], cfg, spk_id_v)
+    _MODEL_CACHE[cache_key] = out
+    return out
 
 
 def power_windows(wav: np.ndarray, feat_cfg, n_timesteps: int) -> np.ndarray:
@@ -56,9 +69,14 @@ def power_windows(wav: np.ndarray, feat_cfg, n_timesteps: int) -> np.ndarray:
 
 def mean_posterior(params, state, cfg, windows: np.ndarray) -> np.ndarray:
     """Mean softmax posterior over all windows -> [n_spk]."""
-    logits, _ = jax.jit(
-        lambda p, s, x: spk_m.apply(p, s, x, cfg=cfg, train=False)
-    )(params, state, windows)
+    fn = _APPLY_CACHE.get(cfg)
+    if fn is None:
+        # one jit object per cfg — a fresh jax.jit(lambda) per call could
+        # never hit the trace cache, recompiling per request on a server
+        fn = jax.jit(lambda p, s, x, cfg=cfg: spk_m.apply(p, s, x, cfg=cfg,
+                                                          train=False))
+        _APPLY_CACHE[cfg] = fn
+    logits, _ = fn(params, state, windows)
     probs = jax.nn.softmax(np.asarray(logits, np.float32), axis=-1)
     return np.asarray(probs.mean(axis=0))
 

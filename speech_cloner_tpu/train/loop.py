@@ -154,6 +154,7 @@ def run_training(
 
     stop = False
     pending: list = []
+    saved_at: int | None = None  # last step written in-loop (skip dup at end)
     while not stop:
         batches = train_batches()
         seen = {"n": 0}
@@ -186,7 +187,12 @@ def run_training(
                                         "steps_per_sec": timer.steps_per_sec * k,
                                         "epoch": epoch})
 
-            if step % loop_cfg.steps_per_epoch == 0:
+            # boundary-crossing check, NOT `step % steps_per_epoch == 0`: a
+            # run resumed from a step that isn't on this run's k-grid would
+            # never satisfy the modulo and epochs/saves/schedules would stall
+            # forever; with this form the boundary fires at the first fused
+            # call past it (at most k-1 steps late, exact when aligned)
+            if step // loop_cfg.steps_per_epoch > epoch:
                 ts = next_epoch(ts)
                 epoch += 1
                 if on_epoch is not None:
@@ -199,6 +205,7 @@ def run_training(
                         ts = pre_eval_fn(ts)
                     if ckpt is not None:
                         ckpt.save(ts, step=step, config=config_snapshot)
+                        saved_at = step
                     if val_iter is not None and eval_step is not None:
                         # k-batch validation: the reference hung best-ckpt
                         # decisions on a single noisy batch (decoder.py:427);
@@ -231,10 +238,17 @@ def run_training(
             continue
         break
 
-    if pre_eval_fn is not None:
-        ts = pre_eval_fn(ts)
-    if ckpt is not None:
-        ckpt.save(ts, step=step, config=config_snapshot, sync=True)
+    if saved_at == step:
+        # final step coincides with an in-loop save (already recalibrated):
+        # just make sure the async write landed instead of re-fetching and
+        # re-writing the identical state over the (slow, remote) link
+        if ckpt is not None:
+            ckpt.wait()
+    else:
+        if pre_eval_fn is not None:
+            ts = pre_eval_fn(ts)
+        if ckpt is not None:
+            ckpt.save(ts, step=step, config=config_snapshot, sync=True)
     for w in (trn_writer, val_writer):
         if w:
             w.close()

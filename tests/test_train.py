@@ -345,3 +345,35 @@ def test_distributed_bf16_fused_train_step_8dev():
         k0 = ts2["params"]["step2"]["CBHG"]["banks"]["kernels"][0]
         assert "model" in str(k0.sharding.spec)
         assert k0.dtype == jnp.float32  # master weights stay f32
+
+
+def test_fused_loop_resumes_from_misaligned_step(tmp_path):
+    """Resume from a checkpoint step that is NOT on the fused k-grid: epoch
+    boundaries must still fire (boundary-crossing check, not step % spe),
+    so schedules/saves/termination keep working after resume."""
+    from speech_cloner_tpu.runtime.checkpoint import Checkpointer
+    from speech_cloner_tpu.train.loop import LoopConfig, run_training
+
+    ck = Checkpointer(str(tmp_path), "m")
+    # a prior run saved at step 5 (e.g. an exact-stop max_steps tail)
+    ck.save({"step": np.int64(5), "epoch": np.int64(0),
+             "w": np.zeros(3, np.float32)}, step=5, sync=True)
+
+    def train_step(ts, x):
+        return {**ts, "step": ts["step"] + 1,
+                "w": ts["w"] + jnp.mean(x)}, {"loss": jnp.mean(x)}
+
+    def batches():
+        for _ in range(100):
+            yield (np.ones(4, np.float32),)
+
+    ts0 = {"step": jnp.asarray(0, jnp.int64), "epoch": jnp.asarray(0, jnp.int64),
+           "w": jnp.zeros(3)}
+    cfg = LoopConfig(n_epochs=99, steps_per_epoch=6, save_each_n_epochs=1,
+                     steps_per_call=3, max_steps=17, prefetch=0)
+    ts = run_training(ts0, batches, None, train_step, None, cfg, ckpt=ck)
+    # resumed 5 -> fused calls land on 8, 11, 14, 17; boundaries at 6 and 12
+    # fire (late but fire) -> epoch reaches 2, and cadence saves happened
+    assert int(ts["epoch"]) == 2, int(ts["epoch"])
+    assert 8 in ck.steps() and 14 in ck.steps(), ck.steps()
+    assert ck.latest_step() == 17
