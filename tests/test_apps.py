@@ -267,3 +267,49 @@ def test_serve_app_stdin(timit_root, arctic_root, tmp_path, monkeypatch, capsys)
         assert rec["rtf"] > 0
     # same bucket -> compiled once; the second request must be much faster
     assert lines[1]["wall_s"] < lines[0]["wall_s"]
+
+
+def test_train_decoder_target_kind(timit_root, tmp_path):
+    """Decoder training against a TARGET_spk-layout corpus (--ds-kind target,
+    the reference's audiobook path, decoder.py:548-575)."""
+    import numpy as np
+
+    from speech_cloner_tpu.apps.train_decoder import main as dec_main
+    from speech_cloner_tpu.apps.train_encoder import main as enc_main
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+
+    ds_cfg = _small_ds_cfg(tmp_path)
+    enc_cfg = _small_enc_cfg(tmp_path)
+    enc_path = str(tmp_path / "enc_ckpt")
+    enc_main(["--ds-path", timit_root, "--model-path", enc_path,
+              "--log-dir", str(tmp_path / "el"), "--ds-cfg", ds_cfg,
+              "--enc-cfg", enc_cfg, "--batch-size", "2", "--max-steps", "2"])
+
+    book = str(tmp_path / "book")
+    os.makedirs(book)
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        write_riff_wav(os.path.join(book, f"c{i}.wav"),
+                       rng.standard_normal(16000).astype(np.float32), 16000)
+
+    dec_cfg = {
+        "model_name": "decoder", "input_shape": [40, 61],
+        "steps_v": [
+            {"embed_size": 32, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 20},
+            {"embed_size": 48, "num_conv_banks": 2, "num_highwaynet_blocks": 1,
+             "n_output": 201}],
+        "dropout_rate": 0.1, "use_lstm": False, "learning_rate": 1e-3,
+        "decay": 1e-3, "mel_loss_weight": 400, "stft_loss_weight": 400,
+        "loss_type": "sum", "use_target_mel_step2": False,
+        "target_mel_step2_val": 500}
+    dec_cfg_p = str(tmp_path / "dec_t_cfg.json")
+    with open(dec_cfg_p, "w") as f:
+        json.dump(dec_cfg, f)
+    dec_path = str(tmp_path / "dec_t")
+    dec_main(["--ds-path", book, "--ds-kind", "target",
+              "--enc-ckpt", enc_path, "--enc-cfg", enc_cfg,
+              "--dec-cfg", dec_cfg_p, "--ds-cfg", ds_cfg,
+              "--model-path", dec_path, "--log-dir", str(tmp_path / "dtl"),
+              "--batch-size", "2", "--max-steps", "2", "--prop-val", "0.3"])
+    assert Checkpointer(dec_path, "decoder").latest_step() == 2

@@ -265,3 +265,53 @@ def test_host_shard_single_process():
     s = np.arange(10)
     np.testing.assert_array_equal(host_shard(s), s)  # 1 process -> identity
     assert per_host_batch(32) == 32
+
+
+def test_target_speaker_reader(tmp_path):
+    """TARGET_spk reader (C8, TARGET_spk_reader.py): extension filter,
+    exclude list, spec cache without phones, sequential head/tail split and
+    the one-file-per-batch window sampler."""
+    import numpy as np
+
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+    from speech_cloner_tpu.data.target_spk import TargetSpeaker
+
+    cfg = _feat_cfg()
+    sr = cfg.sample_rate
+    root = str(tmp_path / "book")
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    T = 20
+    # 4 usable clips (> T frames), one excluded by substring, one wrong ext
+    for i in range(4):
+        dur = (T + 40 + 10 * i) * cfg.hop_length
+        write_riff_wav(os.path.join(root, f"chap{i}.wav"),
+                       rng.standard_normal(dur).astype(np.float32), sr)
+    write_riff_wav(os.path.join(root, "intro_SKIP.wav"),
+                   rng.standard_normal(sr).astype(np.float32), sr)
+    with open(os.path.join(root, "notes.txt"), "w") as f:
+        f.write("not audio")
+
+    ds = TargetSpeaker(root, cfg, n_timesteps=T, exclude_files_with=("SKIP",))
+    assert len(ds.ds["wav"]) == 4
+    assert all("SKIP" not in n for n in ds.ds["name"])
+    ds.build_spec_cache()
+
+    # sequential (non-seeded) split: train = head files, val = tail files
+    got_trn = list(ds.spec_window_sampler(batch_size=3, n_epochs=1,
+                                          sample_trn=True, prop_val=0.3,
+                                          yield_idxs=True))
+    got_val = list(ds.spec_window_sampler(batch_size=3, n_epochs=1,
+                                          sample_trn=False, prop_val=0.3,
+                                          yield_idxs=True))
+    assert got_trn and got_val
+    trn_files = {int(idx[2]) for b in got_trn for idx in b[3]}
+    val_files = {int(idx[2]) for b in got_val for idx in b[3]}
+    assert trn_files.isdisjoint(val_files)
+    assert max(trn_files) < min(val_files)  # head/tail, not interleaved
+    for mfcc, mel, power, idxs in got_trn:
+        assert mfcc.shape == (3, T, cfg.input_dim)
+        assert mel.shape == (3, T, cfg.n_mels)
+        assert power.shape == (3, T, cfg.n_stft)
+        # one file per batch (TARGET_spk_reader.py:206-246)
+        assert len({int(i[2]) for i in idxs}) == 1
