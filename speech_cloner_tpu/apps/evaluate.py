@@ -92,16 +92,19 @@ def main(argv=None):
         split = {"split_key": "spk_id", "split_props_v": (0.8, 0.9),
                  "split_type": args.split}
         ev = jax.jit(lambda p, s, x, y: speaker_eval_step(p, s, x, y, cfg=spk_cfg))
-        accs, n = [], 0
+        # weight each batch by its size: a smaller final batch must not be
+        # over-weighted relative to full batches (acc is a per-batch mean)
+        correct, n, n_batches = 0.0, 0, 0
         for _, _, power, cls in ds.speaker_spec_sampler(
                 args.batch_size, n_epochs=1, ds_filter_d={"split_d": split},
                 base_name="phn_mfcc_cache.h5py"):
             m = ev(params, state, power, cls)
-            accs.append(float(m["acc"]))
+            correct += float(m["acc"]) * power.shape[0]
             n += power.shape[0]
-            if len(accs) >= args.n_batches:
+            n_batches += 1
+            if n_batches >= args.n_batches:
                 break
-        acc = float(np.mean(accs)) if accs else float("nan")
+        acc = correct / n if n else float("nan")
         print(f" speaker-ID {args.split} accuracy over {n} windows "
               f"({len(spk_id_v)} classes): {acc:.4f}")
     else:

@@ -23,6 +23,20 @@ Two request modes:
 
 --warm S1,S2,... pre-compiles the buckets for clips of those durations at
 startup so the first real request is already fast.
+
+Backpressure/robustness (one chip is a serial resource, so the server must
+not let a slow request block ingest or queue unboundedly):
+  - conversions run on a single worker thread fed by a BOUNDED queue
+    (--queue-depth); stdin requests that arrive while it is full get an
+    immediate {"error": "queue full"} record instead of blocking the reader,
+    and the watcher simply retries the file on the next poll;
+  - --timeout S emits an {"error": "timeout..."} record if a conversion
+    exceeds S seconds (the device call itself cannot be cancelled, so the
+    worker finishes it and reports a late record with "late": true — but the
+    ingest loop and queue stay live throughout);
+  - a malformed stdin line (bad JSON / missing "input") produces an error
+    record, never a crash; undecodable audio files are likewise reported
+    and skipped (watch mode marks them done so they are not retried forever).
 """
 
 from __future__ import annotations
@@ -30,7 +44,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue as queue_mod
 import sys
+import threading
 import time
 
 
@@ -86,6 +102,11 @@ def main(argv=None):
     ap.add_argument("--poll", type=float, default=1.0, help="watch poll seconds")
     ap.add_argument("--max-requests", type=int, default=0,
                     help="exit after N requests (0 = run forever; for tests)")
+    ap.add_argument("--queue-depth", type=int, default=8,
+                    help="max conversions waiting behind the in-flight one")
+    ap.add_argument("--timeout", type=float, default=0.0,
+                    help="per-request seconds before an error record is "
+                         "emitted (0 = no timeout)")
     ap.add_argument("--verify-ckpt")
     ap.add_argument("--target-spk")
     args = ap.parse_args(argv)
@@ -135,53 +156,119 @@ def main(argv=None):
         stem = os.path.splitext(os.path.basename(in_path))[0]
         return os.path.join(args.output_dir, f"{stem}_pred.wav")
 
-    def handle(in_path: str, explicit_out: str | None = None):
+    def convert_one(in_path: str, explicit_out: str | None = None) -> dict:
         try:
-            rec = _result(pipe, feat_cfg, in_path, out_path_for(in_path, explicit_out),
-                          verify_ckpt=args.verify_ckpt, target_spk=args.target_spk)
+            return _result(pipe, feat_cfg, in_path, out_path_for(in_path, explicit_out),
+                           verify_ckpt=args.verify_ckpt, target_spk=args.target_spk)
         except Exception as e:  # a bad request must not kill the server
-            rec = {"input": in_path, "error": f"{type(e).__name__}: {e}"}
-        print(json.dumps(rec), flush=True)
+            return {"input": in_path, "error": f"{type(e).__name__}: {e}"}
+
+    # one conversion at a time (the chip is serial); a bounded queue in
+    # front keeps ingest responsive and memory flat under a request burst
+    work: queue_mod.Queue = queue_mod.Queue(maxsize=max(args.queue_depth, 1))
+    done = threading.Event()
+
+    def worker():
+        while not done.is_set():
+            try:
+                in_path, explicit_out, finish = work.get(timeout=0.2)
+            except queue_mod.Empty:
+                continue
+            t0 = time.perf_counter()
+            timed_out = threading.Event()
+            if args.timeout > 0:
+                def report_timeout():
+                    timed_out.set()
+                    print(json.dumps({"input": in_path,
+                                      "error": f"timeout after {args.timeout}s "
+                                               "(conversion still running)"}),
+                          flush=True)
+                watchdog = threading.Timer(args.timeout, report_timeout)
+                watchdog.start()
+            rec = convert_one(in_path, explicit_out)
+            if args.timeout > 0:
+                watchdog.cancel()
+                if timed_out.is_set():
+                    rec["late"] = True
+                    rec["wall_s"] = round(time.perf_counter() - t0, 3)
+            print(json.dumps(rec), flush=True)
+            finish()
+            work.task_done()
+
+    worker_t = threading.Thread(target=worker, daemon=True)
+    worker_t.start()
 
     n_done = 0
-    if args.watch:
-        print(json.dumps({"watching": args.watch, "output_dir": args.output_dir}),
-              flush=True)
-        seen: set[str] = set()
-        settling: dict[str, tuple] = {}  # path -> (size, mtime) at last poll
-        while True:
-            for name in sorted(os.listdir(args.watch)):
-                p = os.path.join(args.watch, name)
-                if (p in seen or not os.path.isfile(p)
-                        or name.endswith("_pred.wav")):
-                    continue
-                # convert only once (size, mtime) is stable across two polls —
-                # a file still being copied in would otherwise be read truncated
-                st = os.stat(p)
-                sig = (st.st_size, st.st_mtime)
-                if settling.get(p) != sig:
-                    settling[p] = sig
-                    continue
-                settling.pop(p, None)
-                seen.add(p)
-                handle(p)
+    done_lock = threading.Lock()
+    finished = threading.Event()
+
+    def make_finish():
+        def finish():
+            nonlocal n_done
+            with done_lock:
                 n_done += 1
                 if args.max_requests and n_done >= args.max_requests:
-                    return
-            time.sleep(args.poll)
-    else:
-        for line in sys.stdin:
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith("{"):
-                req = json.loads(line)
-                handle(req["input"], req.get("output"))
-            else:
-                handle(line)
-            n_done += 1
-            if args.max_requests and n_done >= args.max_requests:
-                return
+                    finished.set()
+        return finish
+
+    try:
+        if args.watch:
+            print(json.dumps({"watching": args.watch, "output_dir": args.output_dir}),
+                  flush=True)
+            seen: set[str] = set()
+            settling: dict[str, tuple] = {}  # path -> (size, mtime) at last poll
+            while not finished.is_set():
+                for name in sorted(os.listdir(args.watch)):
+                    p = os.path.join(args.watch, name)
+                    if (p in seen or not os.path.isfile(p)
+                            or name.endswith("_pred.wav")):
+                        continue
+                    # convert only once (size, mtime) is stable across two
+                    # polls — a file still being copied in would otherwise be
+                    # read truncated
+                    st = os.stat(p)
+                    sig = (st.st_size, st.st_mtime)
+                    if settling.get(p) != sig:
+                        settling[p] = sig
+                        continue
+                    try:
+                        work.put_nowait((p, None, make_finish()))
+                    except queue_mod.Full:
+                        continue  # retry on the next poll; queue stays bounded
+                    settling.pop(p, None)
+                    seen.add(p)
+                finished.wait(args.poll)
+        else:
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("{"):
+                    # a malformed request line must not kill the server either
+                    try:
+                        req = json.loads(line)
+                        in_path, explicit_out = req["input"], req.get("output")
+                    except Exception as e:
+                        print(json.dumps({"request": line[:200],
+                                          "error": f"bad request: {type(e).__name__}: {e}"}),
+                              flush=True)
+                        continue
+                else:
+                    in_path, explicit_out = line, None
+                try:
+                    work.put_nowait((in_path, explicit_out, make_finish()))
+                except queue_mod.Full:
+                    print(json.dumps({"input": in_path,
+                                      "error": f"queue full (depth {args.queue_depth})"}),
+                          flush=True)
+                if finished.is_set():
+                    break
+            # all requests read: drain the queue before exiting
+            work.join()
+            if args.max_requests:
+                finished.wait(timeout=600)
+    finally:
+        done.set()
 
 
 if __name__ == "__main__":

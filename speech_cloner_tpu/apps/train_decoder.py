@@ -173,12 +173,13 @@ def main(argv=None):
             enc_params=enc_params, enc_state=enc_state, enc_cfg=enc_cfg,
             cfg=cfg, loss_cfg=loss_cfg)
 
-    def _bn_state(p, s, mfcc, mel, stft):
+    def _bn_state(p, s, mfcc, mel, stft, bn_momentum=None):
         return dec_m.apply(
             p, s, enc_m.posteriors(
                 enc_m.apply(enc_params, enc_state, mfcc, cfg=enc_cfg,
                             train=False)[0]),
-            cfg=cfg, train=True, rng=jax.random.PRNGKey(0))[2]
+            cfg=cfg, train=True, rng=jax.random.PRNGKey(0),
+            bn_momentum=bn_momentum)[2]
 
     # ------------------------------------------------------------- loaders ---
     # device: whole filtered corpus resident in HBM, windows cropped on
@@ -233,8 +234,8 @@ def main(argv=None):
 
         step = jax.jit(with_gather(_train_step))
         ev = jax.jit(with_gather(_eval_step))
-        bn_stat_base = lambda p, s, u, st, *streams: _bn_state(
-            p, s, *gather_windows(streams, u, st, T))
+        bn_stat_base = lambda p, s, u, st, *streams, bn_momentum=None: _bn_state(
+            p, s, *gather_windows(streams, u, st, T), bn_momentum=bn_momentum)
 
         def bn_batches():
             return ((u, st, *dw.streams) for u, st in batches(True)())

@@ -193,9 +193,10 @@ def main(argv=None):
     def _eval_step(t, x, y):
         return encoder_eval_step(t["params"], t["model_state"], x, y, cfg=cfg)
 
-    def _bn_state(p, s, x, y):
+    def _bn_state(p, s, x, y, bn_momentum=None):
         return enc_m.apply(p, s, x, cfg=cfg, train=True,
-                           rng=jax.random.PRNGKey(0))[1]
+                           rng=jax.random.PRNGKey(0),
+                           bn_momentum=bn_momentum)[1]
 
     if use_device:
         from ..data.device_dataset import gather_windows
@@ -206,8 +207,9 @@ def main(argv=None):
 
         step = jax.jit(with_gather(_train_step))
         ev = jax.jit(with_gather(_eval_step))
-        bn_stat_base = lambda p, s, u, st, *streams: _bn_state(
-            p, s, *gather_windows(streams, u, st, cfg.n_timesteps))
+        bn_stat_base = lambda p, s, u, st, *streams, bn_momentum=None: _bn_state(
+            p, s, *gather_windows(streams, u, st, cfg.n_timesteps),
+            bn_momentum=bn_momentum)
         gather_jit = jax.jit(lambda u, st, *streams: gather_windows(
             streams, u, st, cfg.n_timesteps))
 

@@ -95,7 +95,8 @@ def main(argv=None):
     from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
 
     bn_stat_fn = make_bn_stat_fn(
-        lambda p, s, x: spk_m.apply(p, s, x, cfg=cfg, train=True)[1])
+        lambda p, s, x, bn_momentum=None: spk_m.apply(
+            p, s, x, cfg=cfg, train=True, bn_momentum=bn_momentum)[1])
 
     if args.vocoded_augment > 0.0:
         from ..train.augment import mix_vocoded

@@ -95,6 +95,101 @@ def read_via_ffmpeg(path: str, target_sr: int) -> tuple[np.ndarray, int]:
     return np.frombuffer(raw, dtype="<f4").astype(np.float32), target_sr
 
 
+# ------------------------------------------------------------- mp3 decode ---
+# The reference decodes mp3 through librosa -> audioread -> ffmpeg
+# (TARGET_spk_reader.py:108). Neither librosa nor ffmpeg ships in this
+# image, but the system libmpg123 does — bind it directly (ctypes, no
+# subprocess, no temp files) and decode in-process. ffmpeg remains the
+# fallback for non-mp3 compressed formats.
+
+_MPG123_ENC_SIGNED_16 = 0xD0   # mpg123.h MPG123_ENC_SIGNED_16
+_MPG123_OK, _MPG123_DONE, _MPG123_NEW_FORMAT = 0, -12, -11
+
+_mpg123_lib = None
+
+
+def _load_mpg123():
+    global _mpg123_lib
+    if _mpg123_lib is not None:
+        return _mpg123_lib or None
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("mpg123") or "libmpg123.so.0"
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        _mpg123_lib = False
+        return None
+    c = ctypes
+    lib.mpg123_init()
+    lib.mpg123_new.restype = c.c_void_p
+    lib.mpg123_new.argtypes = [c.c_char_p, c.POINTER(c.c_int)]
+    lib.mpg123_open.argtypes = [c.c_void_p, c.c_char_p]
+    lib.mpg123_getformat.argtypes = [c.c_void_p, c.POINTER(c.c_long),
+                                     c.POINTER(c.c_int), c.POINTER(c.c_int)]
+    lib.mpg123_format_none.argtypes = [c.c_void_p]
+    lib.mpg123_format.argtypes = [c.c_void_p, c.c_long, c.c_int, c.c_int]
+    lib.mpg123_read.argtypes = [c.c_void_p, c.c_void_p, c.c_size_t,
+                                c.POINTER(c.c_size_t)]
+    lib.mpg123_close.argtypes = [c.c_void_p]
+    lib.mpg123_delete.argtypes = [c.c_void_p]
+    lib.mpg123_strerror.restype = c.c_char_p
+    lib.mpg123_strerror.argtypes = [c.c_void_p]
+    _mpg123_lib = lib
+    return lib
+
+
+def can_decode_mp3() -> bool:
+    """True when an in-process (libmpg123) or ffmpeg decode path exists."""
+    return _load_mpg123() is not None or shutil.which("ffmpeg") is not None
+
+
+def read_via_mpg123(path: str) -> tuple[np.ndarray, int]:
+    """Decode an mp3 via the system libmpg123 -> (float32 mono, native sr)."""
+    import ctypes
+
+    lib = _load_mpg123()
+    if lib is None:
+        raise RuntimeError("libmpg123 not available")
+    err = ctypes.c_int(0)
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise RuntimeError(f"mpg123_new failed (err {err.value})")
+    try:
+        if lib.mpg123_open(h, os.fsencode(path)) != _MPG123_OK:
+            raise ValueError(f"mpg123 cannot open {path}: "
+                             f"{lib.mpg123_strerror(h).decode()}")
+        rate = ctypes.c_long(0)
+        channels = ctypes.c_int(0)
+        enc = ctypes.c_int(0)
+        if lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(channels),
+                                ctypes.byref(enc)) != _MPG123_OK:
+            raise ValueError(f"mpg123 cannot read format of {path}")
+        # pin the output format so it cannot change mid-stream
+        lib.mpg123_format_none(h)
+        lib.mpg123_format(h, rate.value, channels.value, _MPG123_ENC_SIGNED_16)
+        buf = (ctypes.c_char * (1 << 20))()
+        got = ctypes.c_size_t(0)
+        chunks = []
+        while True:
+            rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(got))
+            if got.value:
+                chunks.append(bytes(buf[: got.value]))
+            if rc == _MPG123_DONE:
+                break
+            if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):
+                raise ValueError(f"mpg123 decode error on {path}: "
+                                 f"{lib.mpg123_strerror(h).decode()}")
+        y = np.frombuffer(b"".join(chunks), dtype="<i2").astype(np.float32) / 32768.0
+        if channels.value > 1:
+            y = y.reshape(-1, channels.value).mean(axis=1)
+        return y, int(rate.value)
+    finally:
+        lib.mpg123_close(h)
+        lib.mpg123_delete(h)
+
+
 def load_audio(path: str, sample_rate: int = 16000, use_native: bool = True) -> np.ndarray:
     """Any supported audio file -> float32 mono at sample_rate.
 
@@ -118,6 +213,8 @@ def load_audio(path: str, sample_rate: int = 16000, use_native: bool = True) -> 
                          else read_nist_sphere(path))
             else:
                 y, sr = read_via_ffmpeg(path, sample_rate)
+        elif ext == ".mp3" and _load_mpg123() is not None:
+            y, sr = read_via_mpg123(path)
         else:
             y, sr = read_via_ffmpeg(path, sample_rate)
     except (wave.Error, struct.error) as e:

@@ -30,12 +30,14 @@ class DecoderStepConfig:
     fused_gru: bool = False  # direction-fused GRU scan (nn/modules.py)
     use_lstm: bool = False   # the reference forwards cfg_d['use_lstm'] into
                              # BOTH CBHG stacks (decoder.py:123, :175)
+    scan_unroll: int = 1     # GRU/LSTM lax.scan body replication
 
     @property
     def cbhg(self) -> CBHGConfig:
         return CBHGConfig(self.embed_size, self.num_conv_banks,
                           self.num_highwaynet_blocks, use_lstm=self.use_lstm,
-                          fused_gru=self.fused_gru)
+                          fused_gru=self.fused_gru,
+                          scan_unroll=self.scan_unroll)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,36 +74,41 @@ def init(key, cfg: DecoderConfig):
     return {"step1": s1_params, "step2": s2_params}, {"step1": s1_state, "step2": s2_state}
 
 
-def _step_apply(params, state, x, step: DecoderStepConfig, dropout_rate, train, rng):
+def _step_apply(params, state, x, step: DecoderStepConfig, dropout_rate, train, rng,
+                bn_momentum=None):
     if train:
         rng, pre_rng = jax.random.split(rng)
     else:
         pre_rng = None
     h = prenet_apply(params["prenet"], x, dropout_rate=dropout_rate, train=train, rng=pre_rng)
-    h, cbhg_state = cbhg_apply(params["CBHG"], state["CBHG"], h, cfg=step.cbhg, train=train)
+    h, cbhg_state = cbhg_apply(params["CBHG"], state["CBHG"], h, cfg=step.cbhg,
+                               train=train, bn_momentum=bn_momentum)
     return dense(params["y_logits"], h), {"CBHG": cbhg_state}
 
 
 def apply(params, state, ppg, *, cfg: DecoderConfig, train: bool = False, rng=None,
-          target_mel=None, f_mel_pred: float = 0.0):
+          target_mel=None, f_mel_pred: float = 0.0, bn_momentum=None):
     """[B, T, 61] PPG -> (y_mel [B,T,80], y_stft [B,T,201], new_state).
 
     When cfg.use_target_mel_step2 and target_mel is given, step2 consumes
     f_mel_pred*y_mel + (1-f_mel_pred)*target_mel (decoder.py:148-152);
-    otherwise it consumes y_mel directly (decoder.py:155).
+    otherwise it consumes y_mel directly (decoder.py:155). ``bn_momentum``
+    overrides the BN moving-stat decay (train/bn_recal.py passes 0.0).
     """
     if train:
         r1, r2 = jax.random.split(rng)
     else:
         r1 = r2 = None
     y_mel, s1_state = _step_apply(params["step1"], state["step1"], ppg,
-                                  cfg.step1, cfg.dropout_rate, train, r1)
+                                  cfg.step1, cfg.dropout_rate, train, r1,
+                                  bn_momentum=bn_momentum)
     if cfg.use_target_mel_step2 and target_mel is not None:
         step2_in = f_mel_pred * y_mel + (1.0 - f_mel_pred) * target_mel
     else:
         step2_in = y_mel
     y_stft, s2_state = _step_apply(params["step2"], state["step2"], step2_in,
-                                   cfg.step2, cfg.dropout_rate, train, r2)
+                                   cfg.step2, cfg.dropout_rate, train, r2,
+                                   bn_momentum=bn_momentum)
     return y_mel, y_stft, {"step1": s1_state, "step2": s2_state}
 
 

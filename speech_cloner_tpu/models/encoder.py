@@ -38,6 +38,7 @@ class EncoderConfig:
     dropout_rate: float = 0.4
     use_lstm: bool = False
     fused_gru: bool = False  # direction-fused GRU scan (nn/modules.py)
+    scan_unroll: int = 1     # GRU/LSTM lax.scan body replication
 
     @property
     def embed(self) -> int:
@@ -51,6 +52,7 @@ class EncoderConfig:
             num_highway=self.num_highwaynet_blocks,
             use_lstm=self.use_lstm,
             fused_gru=self.fused_gru,
+            scan_unroll=self.scan_unroll,
         )
 
 
@@ -66,11 +68,14 @@ def init(key, cfg: EncoderConfig):
     return params, state
 
 
-def apply(params, state, x, *, cfg: EncoderConfig, train: bool = False, rng=None):
+def apply(params, state, x, *, cfg: EncoderConfig, train: bool = False, rng=None,
+          bn_momentum=None):
     """[B, T, input_dim] -> (logits [B, T, n_output], new_state).
 
     Softmax posteriors (the decoder's PPG input, decoder.py:86) are
-    jax.nn.softmax(logits); classes are argmax(logits).
+    jax.nn.softmax(logits); classes are argmax(logits). ``bn_momentum``
+    overrides the BN moving-stat decay (train/bn_recal.py passes 0.0 to
+    collect true batch statistics).
     """
     if train:
         rng, pre_rng = jax.random.split(rng)
@@ -78,7 +83,8 @@ def apply(params, state, x, *, cfg: EncoderConfig, train: bool = False, rng=None
         pre_rng = None
     h = prenet_apply(params["prenet"], x, dropout_rate=cfg.dropout_rate,
                      train=train, rng=pre_rng)
-    h, cbhg_state = cbhg_apply(params["CBHG"], state["CBHG"], h, cfg=cfg.cbhg, train=train)
+    h, cbhg_state = cbhg_apply(params["CBHG"], state["CBHG"], h, cfg=cfg.cbhg,
+                               train=train, bn_momentum=bn_momentum)
     logits = dense(params["y_logits"], h)
     return logits, {"CBHG": cbhg_state}
 

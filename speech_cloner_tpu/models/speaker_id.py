@@ -72,15 +72,20 @@ def init(key, cfg: SpeakerIdConfig):
     return params, {"bn": bn_state}
 
 
-def apply(params, state, x, *, cfg: SpeakerIdConfig, train: bool = False):
-    """[B, T, F] power_dB windows -> (logits [B, n_spk], new_state)."""
+def apply(params, state, x, *, cfg: SpeakerIdConfig, train: bool = False,
+          bn_momentum=None):
+    """[B, T, F] power_dB windows -> (logits [B, n_spk], new_state).
+
+    ``bn_momentum`` overrides the BN moving-stat decay (train/bn_recal.py
+    passes 0.0 to collect true batch statistics)."""
     h = x[..., None]
     h = jax.nn.relu(_conv2d_valid(params["conv1"], h))
     h = _maxpool2(h)
     h = jax.nn.relu(_conv2d_valid(params["conv2"], h))
     h = _maxpool2(h)
     h = h.reshape(h.shape[0], -1)
-    h, bn_state = bn_apply(params["bn"], state["bn"], h, train)
+    h, bn_state = bn_apply(params["bn"], state["bn"], h, train,
+                           momentum=bn_momentum)
     h = jax.nn.relu(dense(params["dense1"], h))
     h = jax.nn.relu(dense(params["dense2"], h))
     logits = dense(params["dense3"], h)

@@ -32,7 +32,6 @@ the shipped enc_*_ckpt weights import exactly:
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import jax
 import jax.numpy as jnp
@@ -40,11 +39,6 @@ import numpy as np
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.999
-# lax.scan body replication for the GRU/LSTM time scans (bit-identical math).
-# Sequential scan iterations carry a fixed per-iteration cost that dominates
-# CBHG wall time on dispatch/loop-overhead-bound runtimes; unrolling k bodies
-# per iteration divides that overhead by k (tools/gru_scan_probe.py).
-GRU_SCAN_UNROLL = int(os.environ.get("SCL_GRU_UNROLL", "1"))
 
 
 # ------------------------------------------------------------ initializers ---
@@ -96,8 +90,16 @@ def bn_init(dim):
     return params, state
 
 
-def bn_apply(params, state, x, train: bool):
-    """BatchNorm over all axes but the last. Returns (y, new_state)."""
+def bn_apply(params, state, x, train: bool, momentum: float | None = None):
+    """BatchNorm over all axes but the last. Returns (y, new_state).
+
+    ``momentum`` overrides the moving-stat decay (default BN_MOMENTUM =
+    0.999, tf.contrib.layers.batch_norm); momentum=0.0 makes ``new_state``
+    the batch's TRUE statistics — the hook train/bn_recal.py uses. An
+    explicit argument, not a module-global override: a global mutated at
+    trace time is invisible action-at-a-distance for any concurrent trace.
+    """
+    m = BN_MOMENTUM if momentum is None else momentum
     if train:
         axes = tuple(range(x.ndim - 1))
         # moments in f32 even under bf16 compute: batch variance over ~1e4
@@ -107,8 +109,8 @@ def bn_apply(params, state, x, train: bool):
         mean = jnp.mean(xf, axis=axes)
         var = jnp.var(xf, axis=axes)
         new_state = {
-            "mean": BN_MOMENTUM * state["mean"] + (1.0 - BN_MOMENTUM) * mean,
-            "var": BN_MOMENTUM * state["var"] + (1.0 - BN_MOMENTUM) * var,
+            "mean": m * state["mean"] + (1.0 - m) * mean,
+            "var": m * state["var"] + (1.0 - m) * var,
         }
     else:
         mean, var = state["mean"], state["var"]
@@ -191,11 +193,12 @@ def pack_bank_kernels(kernels, K: int):
     return jnp.concatenate(parts, axis=2)  # [K, in, K*bank_channels]
 
 
-def conv1d_banks_apply(params, state, x, *, train):
+def conv1d_banks_apply(params, state, x, *, train, bn_momentum=None):
     K = len(params["kernels"])
     big = pack_bank_kernels(params["kernels"], K)
     out = conv1d({"kernel": big}, x)  # one fused MXU conv for all K banks
-    out, bn_state = bn_apply(params["bn"], state["bn"], out, train)
+    out, bn_state = bn_apply(params["bn"], state["bn"], out, train,
+                             momentum=bn_momentum)
     return jax.nn.relu(out), {"bn": bn_state}
 
 
@@ -211,8 +214,15 @@ def gru_dir_init(key, in_dim, units):
     }
 
 
-def _gru_dir_apply(params, x):
-    """[B, T, C] -> [B, T, H] forward scan with hoisted input projections."""
+def _gru_dir_apply(params, x, unroll: int = 1):
+    """[B, T, C] -> [B, T, H] forward scan with hoisted input projections.
+
+    ``unroll`` replicates the scan body k times per iteration (bit-identical
+    math): sequential scan iterations carry a fixed per-iteration cost that
+    dominates CBHG wall time on dispatch/loop-overhead-bound runtimes, and
+    unrolling divides that overhead by k (tools/gru_scan_probe.py). Set via
+    CBHGConfig.scan_unroll — an explicit config field, not an env var, so
+    the compiled program is determined by the config alone."""
     B, T, C = x.shape
     H = params["candidate_kernel"].shape[1]
     Wg_x, Wg_h = params["gates_kernel"][:C], params["gates_kernel"][C:]
@@ -234,7 +244,7 @@ def _gru_dir_apply(params, x):
     # carry produced inside the scan
     h0 = jnp.zeros((B, H), dtype=x.dtype) + 0.0 * x[:, 0, :1]
     _, ys = jax.lax.scan(step, h0, (gx.transpose(1, 0, 2), cx.transpose(1, 0, 2)),
-                         unroll=GRU_SCAN_UNROLL)
+                         unroll=unroll)
     return ys.transpose(1, 0, 2)
 
 
@@ -245,17 +255,17 @@ def gru_init(key, in_dim, units, bidirectional: bool = True):
     return {"fw": gru_dir_init(kf, in_dim, units), "bw": gru_dir_init(kb, in_dim, units)}
 
 
-def gru_apply(params, x):
+def gru_apply(params, x, unroll: int = 1):
     """Uni/bidirectional GRU; bidirectional concatenates [fw, bw] on channels
     (tf.nn.bidirectional_dynamic_rnn + concat, modules.py:200-201)."""
-    fw = _gru_dir_apply(params["fw"], x)
+    fw = _gru_dir_apply(params["fw"], x, unroll)
     if "bw" not in params:
         return fw
-    bw = _gru_dir_apply(params["bw"], x[:, ::-1, :])[:, ::-1, :]
+    bw = _gru_dir_apply(params["bw"], x[:, ::-1, :], unroll)[:, ::-1, :]
     return jnp.concatenate([fw, bw], axis=2)
 
 
-def gru_apply_fused(params, x):
+def gru_apply_fused(params, x, unroll: int = 1):
     """Bidirectional GRU with both directions in ONE scan: T sequential steps
     instead of 2T, halving the scan-latency floor that dominates the train
     step once the MXU work runs in bf16 (docs/DESIGN.md roofline).
@@ -271,7 +281,7 @@ def gru_apply_fused(params, x):
     (1-u)*c, modules.py:168-243).
     """
     if "bw" not in params:
-        return _gru_dir_apply(params["fw"], x)
+        return _gru_dir_apply(params["fw"], x, unroll)
     fw, bw = params["fw"], params["bw"]
     B, T, C = x.shape
     H = fw["candidate_kernel"].shape[1]
@@ -306,9 +316,13 @@ def gru_apply_fused(params, x):
         h2 = u * h + (1.0 - u) * c
         return h2, h2
 
-    h0 = jnp.zeros((B, 2 * H), dtype=dt)
+    # derive h0 from x so its type (incl. shard_map varying-axes) matches
+    # the carry produced inside the scan — without this the fused form fails
+    # under shard_map with 'varying manual axes do not match', unlike
+    # _gru_dir_apply which has always carried the derivation
+    h0 = jnp.zeros((B, 2 * H), dtype=dt) + 0.0 * x[:, 0, :1]
     _, ys = jax.lax.scan(step, h0, (gx, cx),
-                         unroll=GRU_SCAN_UNROLL)          # [T, B, 2H]
+                         unroll=unroll)                   # [T, B, 2H]
     fw_out = ys[:, :, :H].transpose(1, 0, 2)
     bw_out = ys[:, :, H:].transpose(1, 0, 2)[:, ::-1, :]
     return jnp.concatenate([fw_out, bw_out], axis=2)
@@ -327,7 +341,7 @@ def lstm_dir_init(key, in_dim, units, forget_bias: float = 1.0):
     }
 
 
-def _lstm_dir_apply(params, x):
+def _lstm_dir_apply(params, x, unroll: int = 1):
     B, T, C = x.shape
     H = params["kernel"].shape[1] // 4
     Wx, Wh = params["kernel"][:C], params["kernel"][C:]
@@ -342,7 +356,7 @@ def _lstm_dir_apply(params, x):
         return (c2, h2), h2
 
     z0 = jnp.zeros((B, H), x.dtype) + 0.0 * x[:, 0, :1]
-    _, ys = jax.lax.scan(step, (z0, z0), xb.transpose(1, 0, 2))
+    _, ys = jax.lax.scan(step, (z0, z0), xb.transpose(1, 0, 2), unroll=unroll)
     return ys.transpose(1, 0, 2)
 
 
@@ -353,11 +367,11 @@ def lstm_init(key, in_dim, units, bidirectional: bool = True):
     return {"fw": lstm_dir_init(kf, in_dim, units), "bw": lstm_dir_init(kb, in_dim, units)}
 
 
-def lstm_apply(params, x):
-    fw = _lstm_dir_apply(params["fw"], x)
+def lstm_apply(params, x, unroll: int = 1):
+    fw = _lstm_dir_apply(params["fw"], x, unroll)
     if "bw" not in params:
         return fw
-    bw = _lstm_dir_apply(params["bw"], x[:, ::-1, :])[:, ::-1, :]
+    bw = _lstm_dir_apply(params["bw"], x[:, ::-1, :], unroll)[:, ::-1, :]
     return jnp.concatenate([fw, bw], axis=2)
 
 
@@ -378,6 +392,7 @@ class CBHGConfig:
     num_highway: int
     use_lstm: bool = False
     fused_gru: bool = False  # one direction-fused scan (T steps, not 2T)
+    scan_unroll: int = 1     # lax.scan body replication (bit-identical math)
 
 
 def cbhg_init(key, cfg: CBHGConfig, in_dim=None):
@@ -403,20 +418,24 @@ def cbhg_init(key, cfg: CBHGConfig, in_dim=None):
     return params, state
 
 
-def cbhg_apply(params, state, x, *, cfg: CBHGConfig, train: bool):
+def cbhg_apply(params, state, x, *, cfg: CBHGConfig, train: bool,
+               bn_momentum=None):
     """[B, T, E/2] -> [B, T, E]; returns (out, new_state)."""
-    h, banks_state = conv1d_banks_apply(params["banks"], state["banks"], x, train=train)
+    h, banks_state = conv1d_banks_apply(params["banks"], state["banks"], x,
+                                        train=train, bn_momentum=bn_momentum)
     h = maxpool1d_same(h)
     h = conv1d(params["conv1d_1"], h)
-    h, bn1_state = bn_apply(params["bn1"], state["bn1"], h, train)
+    h, bn1_state = bn_apply(params["bn1"], state["bn1"], h, train,
+                            momentum=bn_momentum)
     h = jax.nn.relu(h)
     h = conv1d(params["conv1d_2"], h)
-    h, bn2_state = bn_apply(params["bn2"], state["bn2"], h, train)
+    h, bn2_state = bn_apply(params["bn2"], state["bn2"], h, train,
+                            momentum=bn_momentum)
     h = h + x  # residual (modules.py:340)
     for hw in params["highway"]:
         h = highway_apply(hw, h)
     rnn = lstm_apply if cfg.use_lstm else (
         gru_apply_fused if cfg.fused_gru else gru_apply)
-    out = rnn(params["gru"], h)
+    out = rnn(params["gru"], h, cfg.scan_unroll)
     new_state = {"banks": banks_state, "bn1": bn1_state, "bn2": bn2_state}
     return out, new_state

@@ -82,7 +82,12 @@ def use_pallas_gru(interpret: bool = False):
     from ..nn import modules as M
 
     orig = M._gru_dir_apply
-    M._gru_dir_apply = functools.partial(gru_dir_apply_pallas, interpret=interpret)
+
+    def patched(params, x, unroll: int = 1):
+        # unroll is a lax.scan knob; the Pallas grid kernel has no analog
+        return gru_dir_apply_pallas(params, x, interpret=interpret)
+
+    M._gru_dir_apply = patched
 
     def restore():
         M._gru_dir_apply = orig

@@ -46,6 +46,30 @@ class ClonePipeline:
     mean_abs_amp_norm: float = 0.045  # 15 * 0.003 (test.py:153,165)
     compute_dtype: object = None      # e.g. jnp.bfloat16 (opt-in; None = f32 parity)
 
+    # Per-instance compiled-function cache, keyed by (kind, shape) only: the
+    # weights and GL knobs are fixed per (frozen) instance, so tying the
+    # cache lifetime to the instance makes stale aliasing structurally
+    # impossible (a module-global cache keyed on id(params) could hand a new
+    # pipeline a stale compiled fn after GC reused the id). Bounded LRU: a
+    # long-lived server seeing many length buckets must not grow forever.
+    _jit_cache_max = 32
+
+    def __post_init__(self):
+        from collections import OrderedDict
+        object.__setattr__(self, "_jit_cache", OrderedDict())
+
+    def _jitted(self, kind: str, shape_key, build):
+        cache = self._jit_cache
+        key = (kind, shape_key)
+        fn = cache.get(key)
+        if fn is None:
+            fn = build()
+            cache[key] = fn
+        cache.move_to_end(key)
+        while len(cache) > self._jit_cache_max:
+            cache.popitem(last=False)
+        return fn
+
     # ------------------------------------------------------------ device ---
 
     def _cast(self, tree):
@@ -241,40 +265,23 @@ class ClonePipeline:
         if L + pad < spw:
             pad = spw - L
         wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
-        key = ("pcm16", id(self.enc_params), id(self.dec_params), self.n_iter,
-               self.realse, self.gl_momentum, self.compute_dtype,
-               wav_p.shape[0])
-        fns = _JIT_CACHE.get(key)
-        if fns is None:
-            fns = (jax.jit(self.device_predict), jax.jit(self.device_vocode_pcm16))
-            _JIT_CACHE[key] = fns
-        predict_fn, vocode_fn = fns
+        predict_fn, vocode_fn = self._jitted(
+            "pcm16", wav_p.shape[0],
+            lambda: (jax.jit(self.device_predict),
+                     jax.jit(self.device_vocode_pcm16)))
         _, stft_pred, _ = predict_fn(jnp.asarray(wav_p))
         return np.asarray(vocode_fn(stft_pred, jax.random.PRNGKey(seed)))
 
 
-_JIT_CACHE: dict[tuple, object] = {}
-
-
 def _jitted_batch(p: ClonePipeline, shape):
-    cache_key = ("batch", id(p.enc_params), id(p.dec_params), p.n_iter,
-                 p.realse, p.gl_momentum, p.compute_dtype, shape)
-    fn = _JIT_CACHE.get(cache_key)
-    if fn is None:
-        fn = jax.jit(p.device_convert_batch)
-        _JIT_CACHE[cache_key] = fn
-    return fn
+    return p._jitted("batch", shape, lambda: jax.jit(p.device_convert_batch))
 
 
 def _jitted_stages(p: ClonePipeline, length: int):
-    """Two compiled programs (predict, vocode) per (config, length) bucket."""
-    cache_key = (id(p.enc_params), id(p.dec_params), p.n_iter, p.realse,
-                 p.gl_momentum, p.compute_dtype, length)
-    fns = _JIT_CACHE.get(cache_key)
-    if fns is None:
-        fns = (jax.jit(p.device_predict), jax.jit(p.device_vocode))
-        _JIT_CACHE[cache_key] = fns
-    return fns
+    """Two compiled programs (predict, vocode) per length bucket."""
+    return p._jitted("stages", length,
+                     lambda: (jax.jit(p.device_predict),
+                              jax.jit(p.device_vocode)))
 
 
 def make_pipeline(

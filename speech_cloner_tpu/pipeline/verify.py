@@ -22,7 +22,7 @@ from ..ops import mfcc_input
 from ..runtime.checkpoint import Checkpointer
 
 
-_MODEL_CACHE: dict = {}  # (abspath, latest_step) -> loaded model
+_MODEL_CACHE: dict = {}  # abspath -> (latest_step, loaded model); newest only
 _APPLY_CACHE: dict = {}  # cfg -> jitted forward
 
 
@@ -30,16 +30,18 @@ def load_speaker_model(model_path: str):
     """Restore (params, state, cfg, spk_id_v) from a train_speaker_id dir.
 
     The speaker-class mapping is read from the config sidecar the trainer
-    snapshots next to the weights (speaker_id_cfg_d.json). Cached per
-    (path, latest step): a verification server calls this per request, and
-    re-reading the npz every time is pure waste (a newly saved step
-    invalidates the entry naturally).
+    snapshots next to the weights (speaker_id_cfg_d.json). Cached by path,
+    keeping only the NEWEST step per model dir: a verification server calls
+    this per request, re-reading the npz every time is pure waste, and
+    keeping superseded steps alive would leak a full param tree per saved
+    checkpoint while training continues.
     """
     ck = Checkpointer(model_path, "speaker_id")
-    cache_key = (os.path.abspath(model_path), ck.latest_step())
-    hit = _MODEL_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
+    path_key = os.path.abspath(model_path)
+    step_now = ck.latest_step()
+    hit = _MODEL_CACHE.get(path_key)
+    if hit is not None and hit[0] == step_now:
+        return hit[1]
     tree, step = ck.restore()
     if tree is None:
         raise FileNotFoundError(f"no speaker_id checkpoint under {model_path}")
@@ -52,7 +54,7 @@ def load_speaker_model(model_path: str):
         n_output=int(cfg_d["n_output"]))
     spk_id_v = list(cfg_d["spk_id_v"])
     out = (tree["params"], tree["model_state"], cfg, spk_id_v)
-    _MODEL_CACHE[cache_key] = out
+    _MODEL_CACHE[path_key] = (step_now, out)  # evicts the superseded step
     return out
 
 

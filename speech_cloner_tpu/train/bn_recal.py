@@ -16,33 +16,31 @@ Usage (build the jitted collector ONCE per app — recompiling it at every
 save cadence costs a full remote compile on the axon runtime):
 
     stat_fn = make_bn_stat_fn(
-        lambda params, state, x, y: model.apply(params, state, x, train=True,
-                                                rng=key)[1])
+        lambda params, state, x, y, bn_momentum: model.apply(
+            params, state, x, train=True, rng=key,
+            bn_momentum=bn_momentum)[1])
     new_state = collect_bn_state(stat_fn, params, state, batches)
+
+The momentum override is an EXPLICIT ``bn_momentum`` keyword threaded
+through the model apply chain (nn/modules.bn_apply) — not a module-global
+mutation, which would be action-at-a-distance for any concurrent trace.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import numpy as np
 
 
 def make_bn_stat_fn(train_state_fn):
-    """Jit ``train_state_fn(params, model_state, *batch) -> model_state`` with
-    BN momentum forced to 0 at trace time, so each call returns the batch's
-    TRUE statistics. Build once and reuse — the momentum override is baked
-    into the compiled program."""
-    from ..nn import modules as M
-
-    def traced(params, model_state, *batch):
-        old = M.BN_MOMENTUM
-        M.BN_MOMENTUM = 0.0  # visible during tracing only; restored below
-        try:
-            return train_state_fn(params, model_state, *batch)
-        finally:
-            M.BN_MOMENTUM = old
-
-    return jax.jit(traced)
+    """Jit ``train_state_fn(params, model_state, *batch, bn_momentum=...) ->
+    model_state`` with bn_momentum pinned to 0.0, so each call returns the
+    batch's TRUE statistics. ``train_state_fn`` must accept and forward the
+    ``bn_momentum`` keyword into the model's apply (all three model families
+    take it). Build once and reuse."""
+    return jax.jit(functools.partial(train_state_fn, bn_momentum=0.0))
 
 
 def collect_bn_state(stat_fn, params, model_state, batches,

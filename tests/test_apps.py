@@ -265,8 +265,12 @@ def test_serve_app_stdin(timit_root, arctic_root, tmp_path, monkeypatch, capsys)
         assert "error" not in rec, rec
         assert os.path.exists(rec["output"])
         assert rec["rtf"] > 0
-    # same bucket -> compiled once; the second request must be much faster
-    assert lines[1]["wall_s"] < lines[0]["wall_s"]
+    # same bucket -> compiled once; the second request skips the compile.
+    # Margin-based, not a raw comparison: on a loaded CI host the second
+    # request's wall clock can jitter, but it must still undercut the
+    # compile-laden first request by a clear margin.
+    assert lines[1]["wall_s"] < max(0.9 * lines[0]["wall_s"],
+                                    lines[0]["wall_s"] - 0.5)
 
 
 def test_train_decoder_target_kind(timit_root, tmp_path):

@@ -3,7 +3,6 @@
 extraction + Griffin-Lim resynthesis quality on actual data, not synthetics."""
 
 import os
-import shutil
 
 import numpy as np
 import pytest
@@ -11,13 +10,14 @@ import pytest
 import jax.numpy as jnp
 
 from speech_cloner_tpu import ops
+from speech_cloner_tpu.data.audio_io import can_decode_mp3
 from speech_cloner_tpu.ops.features import FeatureConfig
 
 TRUE_MP3 = "/root/reference/slt_test_chptr16/16 The Magic Art of the Great Humbug_true.mp3"
 
 needs_sample = pytest.mark.skipif(
-    not (os.path.exists(TRUE_MP3) and shutil.which("ffmpeg")),
-    reason="reference demo mp3 or ffmpeg unavailable")
+    not (os.path.exists(TRUE_MP3) and can_decode_mp3()),
+    reason="reference demo mp3 or mp3 decoder (libmpg123/ffmpeg) unavailable")
 
 
 @pytest.fixture(scope="module")

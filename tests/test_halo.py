@@ -99,3 +99,18 @@ def test_encoder_seq_parallel_matches_full(mesh):
     # and most entries are numerically identical (conv path exact, GRU interior converged)
     med = float(jnp.median(jnp.abs(got - ref)))
     assert med < 1e-4, med
+
+
+def test_fused_gru_shard_map_batch_sharded(mesh):
+    """gru_apply_fused must be traceable under shard_map: its h0 derives its
+    type (incl. varying manual axes) from x, like _gru_dir_apply always has.
+    Regression for the round-2 advisor repro ('carry input and carry output
+    must have equal types ... varying manual axes do not match')."""
+    B, T, C, Hd = NSEQ, 32, 6, 8
+    params = M.gru_init(jax.random.PRNGKey(4), C, Hd)
+    x = jnp.asarray(RNG.standard_normal((B, T, C)) * 0.5, jnp.float32)
+    ref = M.gru_apply_fused(params, x)
+    got = shard_map(lambda xx: M.gru_apply_fused(params, xx), mesh=mesh,
+                    in_specs=(P("seq", None, None),),
+                    out_specs=P("seq", None, None))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -202,3 +202,40 @@ def test_convert_pcm16_matches_convert():
     expect = np.clip(wav_f / peak * 32767.0, -32768, 32767).astype(np.int16)
     # identical device math; allow 1 LSB for the separate round/clip path
     assert np.abs(pcm.astype(np.int32) - expect.astype(np.int32)).max() <= 1
+
+
+def test_jit_cache_is_per_instance_and_bounded():
+    """Compiled-fn caching is tied to the pipeline instance (a new pipeline —
+    e.g. rebuilt with new weights — can never alias a stale compiled fn, the
+    round-2 id()-reuse hazard) and is LRU-bounded so a long-lived server
+    seeing many length buckets cannot grow without bound."""
+    import dataclasses
+
+    p = _tiny_pipeline()
+    sr = 16000
+    wav = np.sin(2 * np.pi * 220 * np.arange(sr // 4) / sr).astype(np.float32)
+    p.convert(wav)
+    assert ("stages", len(_padded(p, wav))) in p._jit_cache or len(p._jit_cache) == 1
+
+    # same length bucket -> cache hit (no new entry)
+    n = len(p._jit_cache)
+    p.convert(wav)
+    assert len(p._jit_cache) == n
+
+    # a replaced pipeline (fresh instance) starts with an empty cache
+    p2 = dataclasses.replace(p, n_iter=3)
+    assert len(p2._jit_cache) == 0
+
+    # the cache is LRU-bounded
+    assert p._jit_cache_max == 32
+    for i in range(p._jit_cache_max + 4):
+        p._jitted("probe", i, lambda: object())
+    assert len(p._jit_cache) <= p._jit_cache_max
+
+
+def _padded(p, wav):
+    spw = p.enc_cfg.n_timesteps * p.feat_cfg.hop_length
+    pad = (-len(wav)) % spw
+    if len(wav) + pad < spw:
+        pad = spw - len(wav)
+    return np.pad(wav, (0, pad))

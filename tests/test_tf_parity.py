@@ -415,3 +415,58 @@ def test_decoder_tf_import_parity(tmp_path):
 
     np.testing.assert_allclose(np.asarray(y_mel), ref_mel, atol=2e-4)
     np.testing.assert_allclose(np.asarray(y_stft), ref_stft, atol=2e-3)
+
+
+# ------------------------------------- composed golden parity (demo clip) ---
+
+TRUE_MP3 = ("/root/reference/slt_test_chptr16/"
+            "16 The Magic Art of the Great Humbug_true.mp3")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(ENC14 + ".index") and os.path.exists(TRUE_MP3)),
+    reason="enc_14 ckpt or demo mp3 absent")
+def test_composed_golden_parity_on_demo_clip():
+    """The strongest verifiable slice of BASELINE.md's fidelity claim: the
+    REAL shipped demo clip (slt_test_chptr16_true.mp3) through our feature
+    front-end -> imported enc_14 -> PPG, pinned against the TF-op mirror of
+    the reference encoder graph on the SAME features (test.py:472-491 is the
+    path being mirrored; the reference ships no decoder ckpt, so the
+    encoder half is the verifiable half of the chain).
+
+    Measured (recorded in README parity matrix): logits max-abs ~1e-4,
+    PPG max-abs ~1e-5 over 8 windows of real speech.
+    """
+    from speech_cloner_tpu import ops
+    from speech_cloner_tpu.data.audio_io import can_decode_mp3, load_audio
+
+    if not can_decode_mp3():
+        pytest.skip("no mp3 decoder (libmpg123/ffmpeg) available")
+    from speech_cloner_tpu.models import encoder as enc
+    from speech_cloner_tpu.ops.features import FeatureConfig
+    from speech_cloner_tpu.runtime.tf_import import load_tf_encoder
+
+    wav = load_audio(TRUE_MP3, 16000)[: 16 * 16000]  # 16 s = 8 full windows
+    feat_cfg = FeatureConfig(calc_mfcc_derivate=True)  # 40 MFCC + delta = 80
+    mfcc, _, _ = ops.mfcc_input(wav, feat_cfg, xp=np)
+    T = 400
+    K = mfcc.shape[0] // T
+    assert K >= 8
+    x = mfcc[: K * T].reshape(K, T, mfcc.shape[1]).astype(np.float32)
+
+    cfg = enc.EncoderConfig()
+    params, state = load_tf_encoder(ENC14, cfg)
+    logits, _ = enc.apply(params, state, jnp.asarray(x), cfg=cfg, train=False)
+    ppg = np.asarray(enc.posteriors(logits))
+
+    ref_logits = _tf_encoder_forward(ENC14, x)
+    ref_ppg = np.exp(ref_logits) / np.exp(ref_logits).sum(-1, keepdims=True)
+
+    logit_err = float(np.max(np.abs(np.asarray(logits) - ref_logits)))
+    ppg_err = float(np.max(np.abs(ppg - ref_ppg)))
+    print(f"composed golden parity: logits max-abs {logit_err:.2e}, "
+          f"PPG max-abs {ppg_err:.2e} over {K} windows")
+    assert logit_err < 5e-4, logit_err
+    assert ppg_err < 1e-4, ppg_err
+    # and the PPG is doing its job on real speech: confident, non-uniform
+    assert ppg.max() > 0.9

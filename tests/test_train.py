@@ -200,7 +200,8 @@ def test_bn_recalibration_collects_true_batch_stats():
     bn_state = {"mean": jnp.full((C,), 7.0), "var": jnp.full((C,), 9.0)}  # stale
 
     stat_fn = make_bn_stat_fn(
-        lambda p, s, x: M.bn_apply(p, s, x, train=True)[1])
+        lambda p, s, x, bn_momentum=None: M.bn_apply(
+            p, s, x, train=True, momentum=bn_momentum)[1])
 
     batches = [(jnp.asarray(RNG.standard_normal((4, 10, C)) * (i + 1) + i,
                             jnp.float32),) for i in range(3)]

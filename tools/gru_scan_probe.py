@@ -51,13 +51,11 @@ def main():
         params = M.gru_dir_init(jax.random.PRNGKey(0), C, H)
         x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
         for unroll in (1, 4, 8, 16, 32):
-            M.GRU_SCAN_UNROLL = unroll
-            fn = jax.jit(lambda p, xx: M._gru_dir_apply(p, xx))
+            fn = jax.jit(lambda p, xx, u=unroll: M._gru_dir_apply(p, xx, u))
             comp, best = bench(fn, params, x)
             print(f"gru C={C} H={H} unroll={unroll:2d}: compile {comp:6.1f}s  "
                   f"best {best * 1e3:7.2f} ms ({best / T * 1e6:6.1f} us/iter)",
                   flush=True)
-    M.GRU_SCAN_UNROLL = 1
     if args.quick:
         return
 
@@ -82,16 +80,22 @@ def main():
     mel = jnp.asarray(rng.standard_normal((B, T, 80)), jnp.float32)
     stft = jnp.asarray(rng.standard_normal((B, T, 201)), jnp.float32)
 
+    import dataclasses
+
     for unroll in (1, 8, 16):
-        M.GRU_SCAN_UNROLL = unroll
-        fn = jax.jit(lambda t, a, b, c: decoder_train_step(
+        # scan_unroll is a CBHGConfig field now: build per-unroll configs
+        e_cfg = dataclasses.replace(enc_cfg, scan_unroll=unroll)
+        d_cfg = dataclasses.replace(
+            dec_cfg,
+            step1=dataclasses.replace(dec_cfg.step1, scan_unroll=unroll),
+            step2=dataclasses.replace(dec_cfg.step2, scan_unroll=unroll))
+        fn = jax.jit(lambda t, a, b, c, e_cfg=e_cfg, d_cfg=d_cfg: decoder_train_step(
             t, a, b, c, enc_params=enc_params, enc_state=enc_state,
-            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
+            enc_cfg=e_cfg, cfg=d_cfg, loss_cfg=loss_cfg,
             opt_cfg=opt_cfg, opt=opt))
         comp, best = bench(fn, ts, x, mel, stft, n=3)
         print(f"decoder train step unroll={unroll:2d}: compile {comp:6.1f}s  "
               f"best {best * 1e3:7.1f} ms", flush=True)
-    M.GRU_SCAN_UNROLL = 1
 
 
 if __name__ == "__main__":
