@@ -29,11 +29,17 @@ import numpy as np
 
 
 def _losses(mel_true, mel_pred, stft_true, stft_pred, w=400.0):
-    """Reference loss readout: w*MSE(mel) + w*MSE(stft) (decoder.py:185-199)."""
+    """Reference loss readout: w*MSE(mel) + w*MSE(stft) (decoder.py:185-199),
+    plus mel-cepstral distortion (dB) — the objective spectral-quality number
+    the reference lacked (train/metrics.mel_cepstral_distortion)."""
+    from ..train.metrics import mel_cepstral_distortion
+
     n = min(mel_true.shape[0], mel_pred.shape[0])
     mel_l = float(w * np.mean((mel_true[:n] - mel_pred[:n]) ** 2))
     stft_l = float(w * np.mean((stft_true[:n] - stft_pred[:n]) ** 2))
-    return {"mel_loss": mel_l, "stft_loss": stft_l, "loss": mel_l + stft_l}
+    mcd = float(mel_cepstral_distortion(mel_true[:n], mel_pred[:n]))
+    return {"mel_loss": mel_l, "stft_loss": stft_l, "loss": mel_l + stft_l,
+            "mcd_db": mcd}
 
 
 def main(argv=None):
@@ -149,7 +155,8 @@ def main(argv=None):
                  **_losses(mel_true, mel_pred, stft_true, stft_pred)}
         report["tests"][name] = entry
         print(f" {name}: spk={spk} dur={entry['duration_s']}s "
-              f"mel_loss={entry['mel_loss']:.3f} stft_loss={entry['stft_loss']:.3f}")
+              f"mel_loss={entry['mel_loss']:.3f} stft_loss={entry['stft_loss']:.3f} "
+              f"mcd={entry['mcd_db']:.2f}dB")
         if name.startswith("test3"):
             test3_wavs = (wav_true, wav_pred)
         else:

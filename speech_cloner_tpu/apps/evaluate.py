@@ -122,10 +122,11 @@ def main(argv=None):
         sampler = ds.spec_window_sampler(batch_size=args.batch_size, n_epochs=1,
                                          sample_trn=False, prop_val=0.02,
                                          ds_filter_d={"spk_id": args.spk_id})
-        loss, mel_l, stft_l = eval_loss(
+        loss, mel_l, stft_l, mcd = eval_loss(
             dec_params, dec_state, sampler, enc_params=enc_params,
             enc_state=enc_state, enc_cfg=enc_cfg, dec_cfg=dec_cfg, verbose=True)
-        print(f" final: loss={loss:.3f} mel={mel_l:.3f} stft={stft_l:.3f}")
+        print(f" final: loss={loss:.3f} mel={mel_l:.3f} stft={stft_l:.3f} "
+              f"mcd={mcd:.2f}dB")
 
 
 if __name__ == "__main__":

@@ -64,7 +64,13 @@ def eval_loss(dec_params, dec_state, sampler, *, enc_params, enc_state,
               enc_cfg, dec_cfg, loss_cfg: DecoderLossConfig = DecoderLossConfig(),
               verbose: bool = False):
     """Streaming decoder losses over (mfcc, mel, stft) batches; returns
-    (mean loss, mean mel_loss, mean stft_loss)."""
+    (mean loss, mean mel_loss, mean stft_loss, mean mcd_db).
+
+    mcd_db is the mel-cepstral distortion of the predicted mel vs truth
+    (train/metrics.mel_cepstral_distortion) — the objective spectral-quality
+    number the reference lacked (its only proxy was the weighted MSE,
+    decoder.py:474-493)."""
+    from .metrics import mel_cepstral_distortion
 
     @jax.jit
     def fn(mfcc, mel, stft):
@@ -77,7 +83,7 @@ def eval_loss(dec_params, dec_state, sampler, *, enc_params, enc_state,
             loss = jnp.log(mel_l) + jnp.log(stft_l)
         else:
             loss = mel_l + stft_l
-        return loss, mel_l, stft_l
+        return loss, mel_l, stft_l, mel_cepstral_distortion(mel, y_mel)
 
     acc = []
     for mfcc, mel, stft, *_ in sampler:
@@ -85,9 +91,10 @@ def eval_loss(dec_params, dec_state, sampler, *, enc_params, enc_state,
         acc.append([float(v) for v in out])
         if verbose:
             m = np.mean(acc, axis=0)
-            print(f" - loss={m[0]:.3f} mel={m[1]:.3f} stft={m[2]:.3f}")
-    m = np.mean(acc, axis=0) if acc else np.zeros(3)
-    return float(m[0]), float(m[1]), float(m[2])
+            print(f" - loss={m[0]:.3f} mel={m[1]:.3f} stft={m[2]:.3f} "
+                  f"mcd={m[3]:.2f}dB")
+    m = np.mean(acc, axis=0) if acc else np.zeros(4)
+    return float(m[0]), float(m[1]), float(m[2]), float(m[3])
 
 
 _CONFUSION_FNS: dict = {}

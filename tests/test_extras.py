@@ -67,10 +67,32 @@ def test_eval_loss():
     x = RNG.standard_normal((3, 24, 8)).astype(np.float32)
     mel = RNG.standard_normal((3, 24, 10)).astype(np.float32) * 0.1
     stft = RNG.standard_normal((3, 24, 13)).astype(np.float32) * 0.1
-    loss, mel_l, stft_l = eval_loss(dp, ds, [(x, mel, stft)], enc_params=ep,
-                                    enc_state=es, enc_cfg=enc_cfg, dec_cfg=dec_cfg)
-    assert np.isfinite([loss, mel_l, stft_l]).all()
+    loss, mel_l, stft_l, mcd = eval_loss(dp, ds, [(x, mel, stft)], enc_params=ep,
+                                         enc_state=es, enc_cfg=enc_cfg, dec_cfg=dec_cfg)
+    assert np.isfinite([loss, mel_l, stft_l, mcd]).all()
     assert abs(loss - (mel_l + stft_l)) < 1e-3
+    assert mcd > 0.0
+
+
+def test_mel_cepstral_distortion():
+    """MCD metric: zero on identical inputs, positive and scale-correct on a
+    known perturbation (c_0-only shifts — the excluded energy coefficient —
+    contribute nothing)."""
+    from speech_cloner_tpu.train.metrics import mel_cepstral_distortion
+
+    mel = RNG.standard_normal((2, 24, 80)).astype(np.float32) * 0.1
+    assert float(mel_cepstral_distortion(mel, mel)) == 0.0
+    # a uniform offset moves only c_0 (flat vector is orthogonal to every
+    # DCT basis row k>=1) -> MCD stays zero
+    np.testing.assert_allclose(
+        float(mel_cepstral_distortion(mel, mel + 0.3)), 0.0, atol=1e-4)
+    # a non-flat perturbation yields a positive distortion that grows with
+    # the perturbation scale
+    bump = (RNG.standard_normal((2, 24, 80)) * 0.01).astype(np.float32)
+    d1 = float(mel_cepstral_distortion(mel, mel + bump))
+    d2 = float(mel_cepstral_distortion(mel, mel + 2 * bump))
+    assert d1 > 0.0
+    np.testing.assert_allclose(d2, 2 * d1, rtol=1e-4)
 
 
 def test_training_determinism():
