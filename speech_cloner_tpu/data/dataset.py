@@ -261,7 +261,15 @@ class SoundDataset:
 
     @staticmethod
     def _val_split(samples: np.ndarray, prop_val: float, sample_trn: bool) -> np.ndarray:
-        """Fixed seed-0 utterance split (sound_ds.py:268-283 parity).
+        """Fixed seed-0 utterance split — SAME SEMANTICS as the reference
+        (sound_ds.py:268-283: deterministic seed-0 permutation, last
+        prop_val fraction is validation), but DIFFERENT MEMBERSHIP: this
+        uses np.random.default_rng(0) where the reference used the legacy
+        np.random.seed(0) global generator, so which utterances land in
+        val differs. Eval numbers are therefore not comparable
+        utterance-for-utterance with a reference run — only
+        distributionally (deliberate re-design; legacy global seeding is
+        process-wide state).
 
         When prop_val rounds to zero validation utterances (tiny corpora),
         train keeps everything and val is empty — the reference's

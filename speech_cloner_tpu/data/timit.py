@@ -140,7 +140,15 @@ class TIMIT(SoundDataset):
 
     def frame_sampler(self, batch_size=32, n_epochs=1, randomize_samples=True,
                       ds_filter_d={"ds_type": "TRAIN"}, base_name="spec_cache.h5py"):
-        """Per-FRAME (mfcc_row, phn_onehot_row) batches (TIMIT_reader.py:402-430)."""
+        """Per-FRAME (mfcc_row, phn_onehot_row) batches (TIMIT_reader.py:402-430).
+
+        Reference-parity caveats (shared with phoneme_sampler): a trailing
+        partial batch is dropped silently (the reference does the same), and
+        each step reads whole utterances from h5py — the per-step host-I/O
+        pattern the training paths replaced with device-resident / packed
+        loaders. Neither sampler feeds a production training path (the
+        reference used them for experiments, TIMIT_reader.py:363-430); they
+        exist for API parity."""
         import h5py
 
         samples = np.flatnonzero(self.get_ds_filter(ds_filter_d))

@@ -434,8 +434,8 @@ def test_composed_golden_parity_on_demo_clip():
     path being mirrored; the reference ships no decoder ckpt, so the
     encoder half is the verifiable half of the chain).
 
-    Measured (recorded in README parity matrix): logits max-abs ~1e-4,
-    PPG max-abs ~1e-5 over 8 windows of real speech.
+    Measured (recorded in README parity matrix): logits max-abs 2.05e-05,
+    PPG max-abs 3.52e-06 over 8 windows of real speech (libmpg123 decode).
     """
     from speech_cloner_tpu import ops
     from speech_cloner_tpu.data.audio_io import can_decode_mp3, load_audio

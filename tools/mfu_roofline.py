@@ -6,7 +6,10 @@ the TPU runs recorded in docs/DESIGN.md) to TPU v5e peaks to locate the
 binding constraint: MXU FLOPs, HBM bandwidth, or scan latency.
 
 Run (CPU, compile-only — no TPU needed):
-  python tools/mfu_roofline.py [--enc-ms 34.2 --dec-ms 81]
+  python tools/mfu_roofline.py [--enc-ms 34.2 --dec-ms 81 --spk-ms 0]
+
+Measured step times come from tools/step_timing_probe.py on the chip
+(chained dispatch, no host sync between steps).
 
 v5e peaks used: 197 TFLOP/s bf16 MXU, ~49 TFLOP/s for f32-accumulated f32
 matmuls (4 bf16 passes), 819 GB/s HBM (public chip specs).
@@ -57,17 +60,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--enc-ms", type=float, default=34.2)
     ap.add_argument("--dec-ms", type=float, default=81.0)
+    ap.add_argument("--spk-ms", type=float, default=14.6)
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args(argv)
 
     from speech_cloner_tpu.models import decoder as dec_m
     from speech_cloner_tpu.models import encoder as enc_m
+    from speech_cloner_tpu.models import speaker_id as spk_m
     from speech_cloner_tpu.train import (
         DecoderLossConfig,
         OptimizerConfig,
         decoder_train_step,
         encoder_train_step,
         make_train_state,
+        speaker_train_step,
     )
 
     B = args.batch
@@ -98,6 +104,19 @@ def main(argv=None):
             enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
             opt_cfg=opt_cfg, opt=opt),
         (ts_d, x, mel, stft), args.dec_ms)
+
+    # speaker-ID verifier CNN (no scans — pure conv/matmul, the one step
+    # that should sit ON the FLOP/bandwidth roofline)
+    spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201, n_output=34)
+    spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
+    ts_s = make_train_state(spk_params, spk_state, opt_cfg, jax.random.PRNGKey(5))
+    power = jnp.zeros((B, 400, 201), jnp.float32)
+    cls = jnp.zeros((B, 34), jnp.float32)
+    _analyze(
+        "speaker-ID train step (B=32, [400,201] power windows, 34 classes)",
+        lambda t, xx, yy: speaker_train_step(t, xx, yy, cfg=spk_cfg,
+                                             opt_cfg=opt_cfg, opt=opt),
+        (ts_s, power, cls), args.spk_ms)
 
     # scan-latency floor: the bidirectional GRU is 2*T sequential cell steps
     # per CBHG; each sequential step costs >= one kernel dispatch

@@ -1,0 +1,108 @@
+"""Honest chained-dispatch timing of the three production train steps.
+
+Times encoder / decoder / speaker-ID train steps at production geometry by
+dispatching K steps back-to-back with the train state threaded through
+(no host sync between steps — the way train/loop.py actually drives the
+chip) and dividing the blocked wall time by K. Reports f32 and bf16.
+
+The numbers feed tools/mfu_roofline.py (--enc-ms/--dec-ms/--spk-ms), which
+relates them to XLA FLOP counts and v5e peaks; results recorded in
+docs/DESIGN.md.
+
+Run on the chip:  python tools/step_timing_probe.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true", help="f32 only, K=5")
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_cloner_tpu.models import decoder as dec_m
+    from speech_cloner_tpu.models import encoder as enc_m
+    from speech_cloner_tpu.models import speaker_id as spk_m
+    from speech_cloner_tpu.train import (
+        DecoderLossConfig,
+        OptimizerConfig,
+        decoder_train_step,
+        encoder_train_step,
+        make_train_state,
+        speaker_train_step,
+    )
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    B = args.batch
+    K = 5 if args.quick else 10
+    rng = np.random.default_rng(0)
+    opt_cfg = OptimizerConfig()
+    opt = opt_cfg.make()
+    loss_cfg = DecoderLossConfig()
+
+    def chain_time(name, fn, ts, *batch):
+        """Compile, then time K chained dispatches (ts threaded, one block)."""
+        t0 = time.perf_counter()
+        out = fn(ts, *batch)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            cur = ts
+            t0 = time.perf_counter()
+            for _ in range(K):
+                cur, metrics = fn(cur, *batch)
+            jax.block_until_ready((cur, metrics))
+            best = min(best, (time.perf_counter() - t0) / K)
+        print(f"{name}: compile {compile_s:6.1f}s  chained step "
+              f"{best * 1e3:7.2f} ms", flush=True)
+        return best
+
+    dtypes = [None] if args.quick else [None, jnp.bfloat16]
+
+    enc_cfg = enc_m.EncoderConfig()
+    enc_params, enc_state = enc_m.init(jax.random.PRNGKey(0), enc_cfg)
+    ts_e = make_train_state(enc_params, enc_state, opt_cfg, jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.standard_normal((B, 400, 80)), jnp.float32)
+    y = jnp.asarray(np.eye(61, dtype=np.float32)[rng.integers(0, 61, (B, 400))])
+    for dt in dtypes:
+        fn = jax.jit(lambda t, a, b, dt=dt: encoder_train_step(
+            t, a, b, cfg=enc_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
+        chain_time(f"encoder B={B} {'bf16' if dt else 'f32'}", fn, ts_e, x, y)
+
+    dec_cfg = dec_m.DecoderConfig()
+    dec_params, dec_state = dec_m.init(jax.random.PRNGKey(2), dec_cfg)
+    ts_d = make_train_state(dec_params, dec_state, opt_cfg, jax.random.PRNGKey(3))
+    mel = jnp.asarray(rng.standard_normal((B, 400, 80)) * 0.1, jnp.float32)
+    stft = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.1, jnp.float32)
+    for dt in dtypes:
+        fn = jax.jit(lambda t, a, b, c, dt=dt: decoder_train_step(
+            t, a, b, c, enc_params=enc_params, enc_state=enc_state,
+            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
+            opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
+        chain_time(f"decoder B={B} {'bf16' if dt else 'f32'}", fn, ts_d, x, mel, stft)
+
+    spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201, n_output=34)
+    spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
+    ts_s = make_train_state(spk_params, spk_state, opt_cfg, jax.random.PRNGKey(5))
+    power = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.3, jnp.float32)
+    cls = jnp.asarray(np.eye(34, dtype=np.float32)[rng.integers(0, 34, (B,))])
+    fn = jax.jit(lambda t, a, b: speaker_train_step(
+        t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt))
+    chain_time(f"speaker-ID B={B} f32", fn, ts_s, power, cls)
+
+
+if __name__ == "__main__":
+    main()
