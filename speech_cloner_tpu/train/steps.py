@@ -156,12 +156,19 @@ def decoder_eval_step(params, model_state, mfcc, target_mel, target_stft, *,
 # ------------------------------------------------------------- speaker-id ---
 
 def speaker_train_step(ts, power_dB, class_oh, *, cfg: spk_m.SpeakerIdConfig,
-                       opt_cfg: OptimizerConfig, opt):
+                       opt_cfg: OptimizerConfig, opt, compute_dtype=None):
+    """One verifier CNN step (voice_identification.py:202-223 analog).
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv/dense forward/backward in
+    bf16 with f32 master weights and f32 loss/BN stats, like the encoder and
+    decoder steps (_cast_floats)."""
     rng, _ = jax.random.split(ts["rng"])
 
     def loss_fn(params):
-        logits, new_state = spk_m.apply(params, ts["model_state"], power_dB,
-                                        cfg=cfg, train=True)
+        logits, new_state = spk_m.apply(
+            _cast_floats(params, compute_dtype), ts["model_state"],
+            _cast_floats(power_dB, compute_dtype), cfg=cfg, train=True)
+        logits = logits.astype(jnp.float32)
         loss = softmax_xent(logits, class_oh)
         return loss, (new_state, logits)
 

@@ -378,3 +378,32 @@ def test_fused_loop_resumes_from_misaligned_step(tmp_path):
     assert int(ts["epoch"]) == 2, int(ts["epoch"])
     assert 8 in ck.steps() and 14 in ck.steps(), ck.steps()
     assert ck.latest_step() == 17
+
+
+def test_speaker_train_step_bf16_close_to_f32():
+    """speaker_train_step(compute_dtype=bf16): finite metrics, f32 master
+    params, and a loss close to the f32 step's (the same mixed-precision
+    contract the encoder/decoder steps honor)."""
+    import dataclasses
+
+    from speech_cloner_tpu.models import speaker_id as spk_m
+    from speech_cloner_tpu.train import (
+        OptimizerConfig, make_train_state, speaker_train_step)
+
+    cfg = spk_m.SpeakerIdConfig(n_timesteps=32, n_features=33, n_output=5)
+    params, state = spk_m.init(jax.random.PRNGKey(0), cfg)
+    opt_cfg = OptimizerConfig()
+    opt = opt_cfg.make()
+    ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(1))
+    x = jnp.asarray(RNG.standard_normal((4, 32, 33)) * 0.3, jnp.float32)
+    y = jnp.asarray(np.eye(5, dtype=np.float32)[RNG.integers(0, 5, 4)])
+
+    ts32, m32 = jax.jit(lambda t, a, b: speaker_train_step(
+        t, a, b, cfg=cfg, opt_cfg=opt_cfg, opt=opt))(ts, x, y)
+    ts16, m16 = jax.jit(lambda t, a, b: speaker_train_step(
+        t, a, b, cfg=cfg, opt_cfg=opt_cfg, opt=opt,
+        compute_dtype=jnp.bfloat16))(ts, x, y)
+    assert np.isfinite(float(m16["loss"]))
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05
+    leaf = jax.tree.leaves(ts16["params"])[0]
+    assert leaf.dtype == jnp.float32  # master weights stay f32

@@ -1,0 +1,124 @@
+"""Steady-state serving benchmark: N mixed-length requests through one warm
+server process (apps/serve.py), measuring per-request wall/RTF from the
+server's own JSON records.
+
+Drives the serving path the way a deployment would: one process per chip,
+warmed buckets, stdin line protocol, bounded queue. Reports p50/p95 RTF and
+throughput over the steady window (requests after the first per bucket).
+
+  python tools/serve_bench.py --enc-ckpt <dir|tf> --dec-ckpt <dir> \
+      [--n 50] [--durations 2,5,10,20] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--enc-ckpt", required=True)
+    ap.add_argument("--dec-ckpt", required=True)
+    ap.add_argument("--enc-cfg")
+    ap.add_argument("--dec-cfg")
+    ap.add_argument("--ds-cfg")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--durations", default="2,5,10,20")
+    ap.add_argument("--n-iter", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--timeout", type=float, default=2400.0,
+                    help="overall wall budget (first compiles are minutes)")
+    args = ap.parse_args()
+
+    durs = [float(x) for x in args.durations.split(",") if x]
+    rng = np.random.default_rng(args.seed)
+    sr = 16000
+
+    work = tempfile.mkdtemp(prefix="serve_bench_")
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+
+    reqs = []
+    for i in range(args.n):
+        d = durs[i % len(durs)]
+        t = np.arange(int(d * sr)) / sr
+        f0 = 120 + 40 * rng.random()
+        y = (np.sin(2 * np.pi * f0 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+             + 0.2 * rng.standard_normal(t.shape)).astype(np.float32)
+        p = os.path.join(work, f"req{i:03d}_{d:g}s.wav")
+        write_riff_wav(p, y, sr, norm=True)
+        reqs.append((p, d))
+
+    cmd = [sys.executable, "-m", "speech_cloner_tpu.apps.serve",
+           "--enc-ckpt", args.enc_ckpt, "--dec-ckpt", args.dec_ckpt,
+           "--output-dir", os.path.join(work, "out"),
+           "--n-iter", str(args.n_iter),
+           "--warm", args.durations,
+           "--max-requests", str(args.n)]
+    for flag, val in (("--enc-cfg", args.enc_cfg), ("--dec-cfg", args.dec_cfg),
+                      ("--ds-cfg", args.ds_cfg)):
+        if val:
+            cmd += [flag, val]
+
+    t0 = time.perf_counter()
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                            text=True)
+    stdin_payload = "".join(p + "\n" for p, _ in reqs)
+    try:
+        out, _ = proc.communicate(stdin_payload, timeout=args.timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise SystemExit("serve_bench: server exceeded the wall budget")
+    total_wall = time.perf_counter() - t0
+
+    warm, recs = [], []
+    for line in out.splitlines():
+        if not line.startswith("{"):
+            continue
+        rec = json.loads(line)
+        if "warmed_s" in rec:
+            warm.append(rec)
+        elif "rtf" in rec:
+            recs.append(rec)
+        elif "error" in rec:
+            print(f"  server error record: {rec}", file=sys.stderr)
+
+    if not recs:
+        raise SystemExit("serve_bench: no successful conversion records")
+
+    rtfs = np.asarray([r["rtf"] for r in recs])
+    walls = np.asarray([r["wall_s"] for r in recs])
+    audio_s = float(sum(r["duration_s"] for r in recs))
+    compile_s = float(sum(w["compile_s"] for w in warm))
+    result = {
+        "n_requests": len(recs),
+        "duration_buckets_s": durs,
+        "warm_compile_s": round(compile_s, 1),
+        "total_wall_s": round(total_wall, 1),
+        "audio_seconds_served": round(audio_s, 1),
+        "rtf_p50": float(np.percentile(rtfs, 50)),
+        "rtf_p95": float(np.percentile(rtfs, 95)),
+        "rtf_max": float(rtfs.max()),
+        "wall_p50_s": float(np.percentile(walls, 50)),
+        "wall_p95_s": float(np.percentile(walls, 95)),
+        "steady_throughput_x_realtime": round(audio_s / float(walls.sum()), 1),
+        "n_iter": args.n_iter,
+    }
+    print(json.dumps(result, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"result": result, "records": recs}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,9 +99,10 @@ def main():
     ts_s = make_train_state(spk_params, spk_state, opt_cfg, jax.random.PRNGKey(5))
     power = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.3, jnp.float32)
     cls = jnp.asarray(np.eye(34, dtype=np.float32)[rng.integers(0, 34, (B,))])
-    fn = jax.jit(lambda t, a, b: speaker_train_step(
-        t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt))
-    chain_time(f"speaker-ID B={B} f32", fn, ts_s, power, cls)
+    for dt in dtypes:
+        fn = jax.jit(lambda t, a, b, dt=dt: speaker_train_step(
+            t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
+        chain_time(f"speaker-ID B={B} {'bf16' if dt else 'f32'}", fn, ts_s, power, cls)
 
 
 if __name__ == "__main__":
