@@ -315,3 +315,30 @@ def test_target_speaker_reader(tmp_path):
         assert power.shape == (3, T, cfg.n_stft)
         # one file per batch (TARGET_spk_reader.py:206-246)
         assert len({int(i[2]) for i in idxs}) == 1
+
+
+def test_mpg123_decode_demo_mp3():
+    """In-process mp3 decode via the system libmpg123 (data/audio_io.py):
+    the reference's librosa->audioread->ffmpeg decode path
+    (TARGET_spk_reader.py:108) without any subprocess. Pinned on the shipped
+    demo clip: 16 kHz mono, ~60 s, speech-like energy."""
+    import os
+
+    import pytest
+
+    mp3 = ("/root/reference/slt_test_chptr16/"
+           "16 The Magic Art of the Great Humbug_true.mp3")
+    if not os.path.exists(mp3):
+        pytest.skip("reference demo mp3 absent")
+    if audio_io._load_mpg123() is None:
+        pytest.skip("libmpg123 absent")
+
+    y, sr = audio_io.read_via_mpg123(mp3)
+    assert sr == 16000 and y.dtype == np.float32 and y.ndim == 1
+    assert 55.0 < len(y) / sr < 65.0
+    rms = float(np.sqrt(np.mean(y ** 2)))
+    assert 0.01 < rms < 0.5 and float(np.abs(y).max()) <= 1.0
+
+    # load_audio routes .mp3 through mpg123 and resamples on request
+    y8 = audio_io.load_audio(mp3, 8000)
+    assert abs(len(y8) / 8000 - len(y) / sr) < 0.01
