@@ -174,26 +174,32 @@ def main(argv=None):
                 in_path, explicit_out, finish = work.get(timeout=0.2)
             except queue_mod.Empty:
                 continue
-            t0 = time.perf_counter()
-            timed_out = threading.Event()
-            if args.timeout > 0:
-                def report_timeout():
-                    timed_out.set()
-                    print(json.dumps({"input": in_path,
-                                      "error": f"timeout after {args.timeout}s "
-                                               "(conversion still running)"}),
-                          flush=True)
-                watchdog = threading.Timer(args.timeout, report_timeout)
-                watchdog.start()
-            rec = convert_one(in_path, explicit_out)
-            if args.timeout > 0:
-                watchdog.cancel()
-                if timed_out.is_set():
-                    rec["late"] = True
-                    rec["wall_s"] = round(time.perf_counter() - t0, 3)
-            print(json.dumps(rec), flush=True)
-            finish()
-            work.task_done()
+            try:
+                t0 = time.perf_counter()
+                timed_out = threading.Event()
+                if args.timeout > 0:
+                    def report_timeout():
+                        timed_out.set()
+                        print(json.dumps({"input": in_path,
+                                          "error": f"timeout after {args.timeout}s "
+                                                   "(conversion still running)"}),
+                              flush=True)
+                    watchdog = threading.Timer(args.timeout, report_timeout)
+                    watchdog.start()
+                rec = convert_one(in_path, explicit_out)
+                if args.timeout > 0:
+                    watchdog.cancel()
+                    if timed_out.is_set():
+                        rec["late"] = True
+                        rec["wall_s"] = round(time.perf_counter() - t0, 3)
+                print(json.dumps(rec), flush=True)
+            except Exception as e:  # the worker must never die silently
+                print(json.dumps({"input": in_path,
+                                  "error": f"worker: {type(e).__name__}: {e}"}),
+                      flush=True)
+            finally:
+                finish()
+                work.task_done()
 
     worker_t = threading.Thread(target=worker, daemon=True)
     worker_t.start()
@@ -263,10 +269,9 @@ def main(argv=None):
                           flush=True)
                 if finished.is_set():
                     break
-            # all requests read: drain the queue before exiting
+            # all requests read: drain the queue before exiting (work.join
+            # returns once every enqueued conversion has been reported)
             work.join()
-            if args.max_requests:
-                finished.wait(timeout=600)
     finally:
         done.set()
 
