@@ -107,10 +107,12 @@ def run_training(
     the first step (the reference required a manual restore() call,
     decoder.py:648).
     """
+    resumed_at = None
     if ckpt is not None:
         ts, step = ckpt.restore_into(ts)
         if step is not None:
             print(f" resumed from step {step}")
+            resumed_at = int(step)
     # host-side step/epoch mirrors: reading ts["step"] from the device every
     # iteration would force a host<->device sync per step (a full network
     # round-trip on remote runtimes) and serialize the dispatch pipeline
@@ -152,7 +154,10 @@ def run_training(
     else:
         fused_step = train_step  # called as fused_step(ts, *batch, *bind)
 
-    stop = False
+    # a run resumed at (or past) max_steps is already complete: without this
+    # guard the k==1 path would execute one extra train step before its
+    # max_steps check fires (the k>1 tail check catches it by construction)
+    stop = (loop_cfg.max_steps is not None and step >= loop_cfg.max_steps)
     pending: list = []
     saved_at: int | None = None  # last step written in-loop (skip dup at end)
     while not stop:
@@ -238,10 +243,11 @@ def run_training(
             continue
         break
 
-    if saved_at == step:
-        # final step coincides with an in-loop save (already recalibrated):
-        # just make sure the async write landed instead of re-fetching and
-        # re-writing the identical state over the (slow, remote) link
+    if saved_at == step or resumed_at == step:
+        # final step coincides with an in-loop save (already recalibrated) or
+        # the run resumed ALREADY COMPLETE (restart of a finished stage):
+        # just make sure the async write landed instead of paying a BN-recal
+        # compile + re-writing the identical state over the remote link
         if ckpt is not None:
             ckpt.wait()
     else:

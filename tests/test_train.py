@@ -2,6 +2,8 @@
 frozen encoder stays frozen, and the full distributed step runs on an
 8-virtual-device ('data','model') mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -407,3 +409,48 @@ def test_speaker_train_step_bf16_close_to_f32():
     assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05
     leaf = jax.tree.leaves(ts16["params"])[0]
     assert leaf.dtype == jnp.float32  # master weights stay f32
+
+
+def test_resume_of_finished_run_is_a_noop(tmp_path):
+    """Restarting a stage that already hit max_steps must not re-run
+    pre_eval_fn (BN recalibration costs a full remote compile) or rewrite
+    the checkpoint — the saved state was already recalibrated when written."""
+    from speech_cloner_tpu.runtime.checkpoint import Checkpointer
+    from speech_cloner_tpu.train.loop import LoopConfig, run_training
+
+    ck = Checkpointer(str(tmp_path), "m")
+
+    def train_step(ts, x):
+        return {**ts, "step": ts["step"] + 1,
+                "w": ts["w"] + jnp.mean(x)}, {"loss": jnp.mean(x)}
+
+    def batches():
+        for _ in range(50):
+            yield (np.ones(4, np.float32),)
+
+    calls = {"pre_eval": 0}
+
+    def pre_eval(ts):
+        calls["pre_eval"] += 1
+        return ts
+
+    ts0 = {"step": jnp.asarray(0, jnp.int64), "epoch": jnp.asarray(0, jnp.int64),
+           "w": jnp.zeros(3)}
+    cfg = LoopConfig(n_epochs=99, steps_per_epoch=4, save_each_n_epochs=10,
+                     steps_per_call=1, max_steps=8, prefetch=0)
+    run_training(ts0, batches, None, train_step, None, cfg, ckpt=ck,
+                 pre_eval_fn=pre_eval)
+    assert ck.latest_step() == 8
+    n_pre = calls["pre_eval"]
+    assert n_pre >= 1  # the final save recalibrated
+    mtime = max(os.path.getmtime(os.path.join(str(tmp_path), f))
+                for f in os.listdir(str(tmp_path)))
+
+    # second invocation: resumes at 8 == max_steps -> zero steps, no recal,
+    # no rewrite
+    run_training(ts0, batches, None, train_step, None, cfg, ckpt=ck,
+                 pre_eval_fn=pre_eval)
+    assert calls["pre_eval"] == n_pre
+    mtime2 = max(os.path.getmtime(os.path.join(str(tmp_path), f))
+                 for f in os.listdir(str(tmp_path)))
+    assert mtime2 == mtime
