@@ -206,16 +206,13 @@ def test_train_full_pipeline(timit_root, arctic_root, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "in_pred.wav"))
 
 
-def test_serve_app_stdin(timit_root, arctic_root, tmp_path, monkeypatch, capsys):
-    """Persistent server: two stdin requests through one warm pipeline —
-    the second same-bucket request reuses the compiled programs."""
-    import glob
-    import io
-
-    from speech_cloner_tpu.apps.serve import main as serve_main
+@pytest.fixture(scope="module")
+def serve_models(timit_root, arctic_root, tmp_path_factory):
+    """Tiny trained enc+dec checkpoints shared by the serve tests."""
     from speech_cloner_tpu.apps.train_decoder import main as dec_main
     from speech_cloner_tpu.apps.train_encoder import main as enc_main
 
+    tmp_path = tmp_path_factory.mktemp("serve_models")
     ds_cfg = _small_ds_cfg(tmp_path)
     enc_cfg = _small_enc_cfg(tmp_path)
     enc_path = str(tmp_path / "enc_ckpt")
@@ -244,22 +241,42 @@ def test_serve_app_stdin(timit_root, arctic_root, tmp_path, monkeypatch, capsys)
               "--dec-cfg", dec_cfg_p, "--ds-cfg", ds_cfg,
               "--model-path", dec_path, "--log-dir", str(tmp_path / "dl"),
               "--batch-size", "2", "--max-steps", "2", "--prop-val", "0.34"])
+    return {"enc_path": enc_path, "dec_path": dec_path, "enc_cfg": enc_cfg,
+            "dec_cfg": dec_cfg_p, "ds_cfg": ds_cfg}
+
+
+def test_serve_app_stdin(serve_models, arctic_root, tmp_path, monkeypatch, capsys):
+    """Persistent server: two stdin requests through one warm pipeline —
+    the second same-bucket request reuses the compiled programs. A malformed
+    JSON line must yield an error record, not kill the server."""
+    import glob
+    import io
+
+    from speech_cloner_tpu.apps.serve import main as serve_main
+
+    m = serve_models
+    enc_path, dec_path = m["enc_path"], m["dec_path"]
+    enc_cfg, dec_cfg_p, ds_cfg = m["enc_cfg"], m["dec_cfg"], m["ds_cfg"]
 
     wavs = sorted(glob.glob(os.path.join(arctic_root, "**", "*.wav"),
                             recursive=True))[:1]
     assert len(wavs) == 1
     out_dir = str(tmp_path / "served")
-    # same clip twice: the second request must hit the compiled bucket
+    # same clip twice (second hits the compiled bucket) + one malformed line
     monkeypatch.setattr("sys.stdin", io.StringIO(
         wavs[0] + "\n"
+        + '{"broken json\n'
         + json.dumps({"input": wavs[0],
                       "output": str(tmp_path / "served" / "again.wav")}) + "\n"))
     serve_main(["--enc-ckpt", enc_path, "--dec-ckpt", dec_path,
                 "--enc-cfg", enc_cfg, "--dec-cfg", dec_cfg_p,
                 "--ds-cfg", ds_cfg, "--output-dir", out_dir,
                 "--n-iter", "4", "--max-requests", "2"])
-    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
-             if l.startswith("{") and "input" in l]
+    all_recs = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")]
+    bad = [r for r in all_recs if "request" in r]
+    assert len(bad) == 1 and "bad request" in bad[0]["error"]
+    lines = [r for r in all_recs if "input" in r]
     assert len(lines) == 2
     for rec in lines:
         assert "error" not in rec, rec
@@ -271,6 +288,38 @@ def test_serve_app_stdin(timit_root, arctic_root, tmp_path, monkeypatch, capsys)
     # compile-laden first request by a clear margin.
     assert lines[1]["wall_s"] < max(0.9 * lines[0]["wall_s"],
                                     lines[0]["wall_s"] - 0.5)
+
+
+def test_serve_app_watch(serve_models, arctic_root, tmp_path, capsys):
+    """Directory-watcher mode: files dropped into the inbox are converted
+    once stable across two polls; an undecodable file yields an error record
+    and is not retried forever."""
+    import glob
+    import shutil
+
+    from speech_cloner_tpu.apps.serve import main as serve_main
+
+    m = serve_models
+    wavs = sorted(glob.glob(os.path.join(arctic_root, "**", "*.wav"),
+                            recursive=True))[:2]
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(wavs[0], inbox / "a.wav")
+    with open(inbox / "broken.wav", "wb") as f:
+        f.write(b"RIFFnotawav")
+    out_dir = str(tmp_path / "watched")
+    serve_main(["--enc-ckpt", m["enc_path"], "--dec-ckpt", m["dec_path"],
+                "--enc-cfg", m["enc_cfg"], "--dec-cfg", m["dec_cfg"],
+                "--ds-cfg", m["ds_cfg"], "--output-dir", out_dir,
+                "--watch", str(inbox), "--poll", "0.2",
+                "--n-iter", "4", "--max-requests", "2"])
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{") and "input" in l]
+    ok = [r for r in recs if "error" not in r]
+    err = [r for r in recs if "error" in r]
+    assert len(ok) == 1 and len(err) == 1
+    assert ok[0]["input"].endswith("a.wav") and os.path.exists(ok[0]["output"])
+    assert err[0]["input"].endswith("broken.wav")
 
 
 def test_train_decoder_target_kind(timit_root, tmp_path):
