@@ -30,9 +30,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # NOTE: the persistent compilation cache was tried and is actively
-    # harmful through the axon remote-compile tunnel (cache writes added
-    # ~170s and reads never hit); compile is paid once per process instead.
+    # Persistent compilation cache, default ON (SCL_COMPILE_CACHE=0 opts
+    # out): the remote axon compiler is erratic (the SAME program compiled
+    # in 126 s in r02 and 869 s in r03), and a warm cache turns a repeat
+    # bench run's compile into seconds. Round-1 measured large-executable
+    # cache writes at ~170 s through the tunnel — a one-time cost the
+    # recorded compile_s fields make visible either way.
+    cache_flag = os.environ.get("SCL_COMPILE_CACHE", "1")
+    if cache_flag != "0":
+        cache_dir = cache_flag if cache_flag not in ("", "1") else \
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from speech_cloner_tpu.models import decoder as dec_m
     from speech_cloner_tpu.models import encoder as enc_m
@@ -92,10 +102,12 @@ def main():
     log("compiling...")
     t0 = time.perf_counter()
     out = run(wav_p, key)
-    log(f"compile+first run (parity-200): {time.perf_counter() - t0:.2f}s")
+    compile_parity_s = time.perf_counter() - t0
+    log(f"compile+first run (parity-200): {compile_parity_s:.2f}s")
     t0 = time.perf_counter()
     out_f = run(wav_p, key, fast=True)
-    log(f"compile+first run (fast-GL-25): {time.perf_counter() - t0:.2f}s")
+    compile_fast_s = time.perf_counter() - t0
+    log(f"compile+first run (fast-GL-25): {compile_fast_s:.2f}s")
 
     def bench(fast):
         times = []
@@ -131,6 +143,9 @@ def main():
             "fast_gl_best_wall_s": best_fast,
             "backend": jax.default_backend(),
             "encoder_weights": "enc_14_ckpt" if enc_ckpt else "random",
+            "compile_parity_s": round(compile_parity_s, 1),
+            "compile_fast_s": round(compile_fast_s, 1),
+            "compile_cache": cache_flag != "0",
         },
     }))
 

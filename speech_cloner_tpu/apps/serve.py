@@ -27,9 +27,10 @@ startup so the first real request is already fast.
 Backpressure/robustness (one chip is a serial resource, so the server must
 not let a slow request block ingest or queue unboundedly):
   - conversions run on a single worker thread fed by a BOUNDED queue
-    (--queue-depth); stdin requests that arrive while it is full get an
-    immediate {"error": "queue full"} record instead of blocking the reader,
-    and the watcher simply retries the file on the next poll;
+    (--queue-depth); in stdin mode a full queue BLOCKS the reader — stdin's
+    own flow control backpressures the sender and every piped request
+    completes (`cat requests | serve` is lossless); the watcher never
+    blocks: a full queue just means the file is retried on the next poll;
   - --timeout S emits an {"error": "timeout..."} record if a conversion
     exceeds S seconds (the device call itself cannot be cancelled, so the
     worker finishes it and reports a late record with "late": true — but the
@@ -138,6 +139,17 @@ def main(argv=None):
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    # every record goes through one locked single-write emitter: the stdin
+    # reader, the worker and a watchdog Timer can all report concurrently,
+    # and CPython print() writes payload and newline separately — interleaved
+    # records would corrupt the JSONL stream
+    emit_lock = threading.Lock()
+
+    def emit(rec: dict):
+        with emit_lock:
+            sys.stdout.write(json.dumps(rec) + "\n")
+            sys.stdout.flush()
+
     sr = feat_cfg.sample_rate
     for dur_s in (float(x) for x in args.warm.split(",") if x):
         t0 = time.perf_counter()
@@ -146,9 +158,8 @@ def main(argv=None):
             pipe.convert(warm_wav)
         else:
             pipe.convert_pcm16(warm_wav)
-        print(json.dumps({"warmed_s": dur_s,
-                          "compile_s": round(time.perf_counter() - t0, 1)}),
-              flush=True)
+        emit({"warmed_s": dur_s,
+              "compile_s": round(time.perf_counter() - t0, 1)})
 
     def out_path_for(in_path: str, explicit: str | None) -> str:
         if explicit:
@@ -180,10 +191,9 @@ def main(argv=None):
                 if args.timeout > 0:
                     def report_timeout():
                         timed_out.set()
-                        print(json.dumps({"input": in_path,
-                                          "error": f"timeout after {args.timeout}s "
-                                                   "(conversion still running)"}),
-                              flush=True)
+                        emit({"input": in_path,
+                              "error": f"timeout after {args.timeout}s "
+                                       "(conversion still running)"})
                     watchdog = threading.Timer(args.timeout, report_timeout)
                     watchdog.start()
                 rec = convert_one(in_path, explicit_out)
@@ -192,11 +202,10 @@ def main(argv=None):
                     if timed_out.is_set():
                         rec["late"] = True
                         rec["wall_s"] = round(time.perf_counter() - t0, 3)
-                print(json.dumps(rec), flush=True)
+                emit(rec)
             except Exception as e:  # the worker must never die silently
-                print(json.dumps({"input": in_path,
-                                  "error": f"worker: {type(e).__name__}: {e}"}),
-                      flush=True)
+                emit({"input": in_path,
+                      "error": f"worker: {type(e).__name__}: {e}"})
             finally:
                 finish()
                 work.task_done()
@@ -219,8 +228,7 @@ def main(argv=None):
 
     try:
         if args.watch:
-            print(json.dumps({"watching": args.watch, "output_dir": args.output_dir}),
-                  flush=True)
+            emit({"watching": args.watch, "output_dir": args.output_dir})
             seen: set[str] = set()
             settling: dict[str, tuple] = {}  # path -> (size, mtime) at last poll
             while not finished.is_set():
@@ -255,18 +263,16 @@ def main(argv=None):
                         req = json.loads(line)
                         in_path, explicit_out = req["input"], req.get("output")
                     except Exception as e:
-                        print(json.dumps({"request": line[:200],
-                                          "error": f"bad request: {type(e).__name__}: {e}"}),
-                              flush=True)
+                        emit({"request": line[:200],
+                              "error": f"bad request: {type(e).__name__}: {e}"})
                         continue
                 else:
                     in_path, explicit_out = line, None
-                try:
-                    work.put_nowait((in_path, explicit_out, make_finish()))
-                except queue_mod.Full:
-                    print(json.dumps({"input": in_path,
-                                      "error": f"queue full (depth {args.queue_depth})"}),
-                          flush=True)
+                # blocking put: stdin's own flow control backpressures the
+                # piping sender, so a batch of N requests all complete (a
+                # full queue only DELAYS ingest; rejection is reserved for
+                # watch mode, where retry-next-poll is free)
+                work.put((in_path, explicit_out, make_finish()))
                 if finished.is_set():
                     break
             # all requests read: drain the queue before exiting (work.join

@@ -42,6 +42,10 @@ def main(argv=None):
                          "on-device Griffin-Lim resynthesis (train/augment.py) "
                          "so the verifier generalizes to converted audio; "
                          "0 = reference behavior")
+    ap.add_argument("--vocoded-val", action="store_true",
+                    help="also score fully-vocoded validation (always on when "
+                         "--vocoded-augment > 0); lets an augment-0 control "
+                         "report both domains for an A/B comparison")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -92,6 +96,26 @@ def main(argv=None):
     cfg_snapshot = {"n_timesteps": cfg.n_timesteps, "n_features": cfg.n_features,
                     "n_output": cfg.n_output, "spk_id_v": list(ds.all_spk_id_v)}
 
+    # auto-resume from the latest checkpoint (same contract as train/loop.py:
+    # the reference required a manual restore(), encoder.py:238-253); the
+    # sidecar carries best_val so best-weights tracking survives the restart
+    ts, resumed_at = ckpt.restore_into(ts, None)
+    resume_best_val = 0.0
+    if resumed_at is not None:
+        import os as _os
+
+        side = _os.path.join(args.model_path, "speaker_id_cfg_d.json")
+        if _os.path.exists(side):
+            import json as _json
+
+            with open(side) as f:
+                resume_best_val = float(_json.load(f).get("best_val", 0.0))
+        print(f" resume: speaker_id step {resumed_at} "
+              f"(best_val={resume_best_val:.3f})")
+        if args.max_steps is not None and resumed_at >= args.max_steps:
+            print(" resume: already at max_steps; nothing to do")
+            return
+
     from ..train.bn_recal import collect_bn_state, make_bn_stat_fn
 
     bn_stat_fn = make_bn_stat_fn(
@@ -108,6 +132,11 @@ def main(argv=None):
         # output, test.py:160-168), so best-weights selection must see it —
         # a clean-only val metric rates the augmentation as a regression
         # while the deployed verdict improves (round-2 negative result)
+        voc_fn = jax.jit(lambda x, k: mix_vocoded(x, feat_cfg, key=k, frac=1.0))
+    elif args.vocoded_val:
+        from ..train.augment import mix_vocoded
+
+        aug_fn = None
         voc_fn = jax.jit(lambda x, k: mix_vocoded(x, feat_cfg, key=k, frac=1.0))
     else:
         aug_fn = None
@@ -131,8 +160,8 @@ def main(argv=None):
                                                 max_batches=args.bn_recal)}
 
     val_iter = val_stream()
-    best_val, val_hist = 0.0, []
-    i_step = 0
+    best_val, val_hist = resume_best_val, []
+    i_step = 0 if resumed_at is None else int(resumed_at)
     # validate every k steps, not every step: a per-step eval + host fetch
     # serializes the dispatch pipeline (the reference evaluated per batch,
     # voice_identification.py:205-215, but also ran eagerly anyway)
@@ -158,21 +187,26 @@ def main(argv=None):
                     voc_acc = None
                     val_hist.append(clean_acc)
             if i_step % 10 == 0:
-                extra = (f" val_acc_vocoded={voc_acc:.3f}"
+                extra = (f" val_acc_clean={clean_acc:.3f}"
+                         f" val_acc_vocoded={voc_acc:.3f}"
                          if voc_acc is not None else "")
                 print(f" - step={i_step} trn_loss={float(m['loss']):.3f} "
                       f"trn_acc={float(m['acc']):.3f} val_acc={val_hist[-1]:.3f}"
-                      + extra)
+                      + extra, flush=True)
             # best-weights tracking over a 10-eval window (voice_identification.py:217-221)
             if (len(val_hist) > 10 and i_step % eval_every == 0
                     and float(np.mean(val_hist[-10:])) > best_val):
                 best_val = float(np.mean(val_hist[-10:]))
-                ckpt.save(recal(ts), step=i_step, config=cfg_snapshot)
+                ckpt.save(recal(ts), step=i_step,
+                          config={**cfg_snapshot, "best_val": best_val})
             i_step += 1
             if args.max_steps is not None and i_step >= args.max_steps:
-                ckpt.save(recal(ts), step=i_step, config=cfg_snapshot, sync=True)
+                ckpt.save(recal(ts), step=i_step,
+                          config={**cfg_snapshot, "best_val": best_val},
+                          sync=True)
                 return
-    ckpt.save(recal(ts), step=i_step, config=cfg_snapshot, sync=True)
+    ckpt.save(recal(ts), step=i_step,
+              config={**cfg_snapshot, "best_val": best_val}, sync=True)
 
 
 if __name__ == "__main__":

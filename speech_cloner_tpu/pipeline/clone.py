@@ -187,14 +187,22 @@ class ClonePipeline:
         n = n_devices or jax.device_count()
         mesh = make_seq_mesh(n)
 
-        # features on one device (cheap), then shard the frame axis
+        # features on one device (cheap), then shard the frame axis; pad the
+        # frame count UP to a multiple of n with zero frames (the reference
+        # pads, never drops, test.py:92-105) and trim the tail after — the
+        # old floor-truncation silently lost up to n-1 trailing frames
+        # (~35 ms at n=8) and made SP vs stitched outputs length-incomparable
         wav_p = np.asarray(wav, np.float32)
         mfcc, _, _ = mfcc_input(jnp.asarray(wav_p), self.feat_cfg, xp=jnp)
-        T = (mfcc.shape[0] // n) * n
+        frames = mfcc.shape[0]
+        pad_f = (-frames) % n
+        if pad_f:
+            mfcc = jnp.pad(mfcc, ((0, pad_f), (0, 0)))
+        T = frames + pad_f
         per = T // n
         if warmup > per:
             warmup = per
-        mfcc = mfcc[None, :T]
+        mfcc = mfcc[None]
 
         fwd = clone_forward_seq_parallel(
             self.enc_params, self.enc_state, self.enc_cfg,
@@ -213,7 +221,11 @@ class ClonePipeline:
                 momentum=self.gl_momentum)
         else:
             wav_pred = self.device_vocode(stft[0], jax.random.PRNGKey(seed))
-        return np.asarray(wav_pred), np.asarray(mel[0]), np.asarray(stft[0])
+        # trim the zero-frame pad back off: outputs cover exactly the input's
+        # real frames (wav length = frames * hop, same rule as the stitched
+        # path after its window pad)
+        wav_pred = np.asarray(wav_pred)[:frames * self.feat_cfg.hop_length]
+        return wav_pred, np.asarray(mel[0, :frames]), np.asarray(stft[0, :frames])
 
     def convert_batch(self, wavs, seed: int = 0):
         """Host API: list/array of equal-length waveforms -> batched outputs."""

@@ -154,10 +154,13 @@ def run_training(
     else:
         fused_step = train_step  # called as fused_step(ts, *batch, *bind)
 
-    # a run resumed at (or past) max_steps is already complete: without this
-    # guard the k==1 path would execute one extra train step before its
-    # max_steps check fires (the k>1 tail check catches it by construction)
-    stop = (loop_cfg.max_steps is not None and step >= loop_cfg.max_steps)
+    # a run resumed at (or past) max_steps OR past n_epochs is already
+    # complete: without this guard the k==1 path would execute one extra
+    # train step before its max_steps check fires (the k>1 tail check
+    # catches it by construction), and an epoch-terminated run restarted
+    # would train a whole extra epoch before its boundary check fires
+    stop = ((loop_cfg.max_steps is not None and step >= loop_cfg.max_steps)
+            or epoch >= loop_cfg.n_epochs)
     pending: list = []
     saved_at: int | None = None  # last step written in-loop (skip dup at end)
     while not stop:

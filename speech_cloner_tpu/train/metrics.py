@@ -52,6 +52,14 @@ def mel_cepstral_distortion(mel_db_true, mel_db_pred, *, n_coeffs: int = 13,
     its weighted MSE losses (decoder.py:185-199); this makes decoder quality
     a number that can regress round over round.
 
+    Scale caveat: the cepstra here are ORTHONORMAL DCT-II coefficients of
+    log10-power, while published MCD numbers conventionally use natural-log
+    cepstra in the non-orthonormal DCT convention — the two differ by a
+    fixed multiplicative factor (sqrt(2/n_mels)-family normalization x
+    ln(10)/10 base change absorbed into the prefactor). Values are therefore
+    internally consistent and valid for round-over-round comparison, but NOT
+    directly comparable to literature MCD tables.
+
     mel_db_*: [..., T, n_mels] -> scalar mean MCD in dB.
     """
     from ..ops.mel import dct_basis

@@ -366,3 +366,32 @@ def test_train_decoder_target_kind(timit_root, tmp_path):
               "--model-path", dec_path, "--log-dir", str(tmp_path / "dtl"),
               "--batch-size", "2", "--max-steps", "2", "--prop-val", "0.3"])
     assert Checkpointer(dec_path, "decoder").latest_step() == 2
+
+
+def test_train_speaker_id_resumes(timit_root, tmp_path, capsys):
+    """The speaker-ID trainer auto-resumes from its latest checkpoint (round-4:
+    previously a restart silently retrained from step 0), and a restart of a
+    finished run is a no-op."""
+    from speech_cloner_tpu.apps.train_speaker_id import main as spk_main
+
+    ds_cfg = _small_ds_cfg(tmp_path)
+    model = str(tmp_path / "spk_resume")
+    base = ["--ds-path", timit_root, "--ds-cfg", ds_cfg,
+            "--model-path", model, "--batch-size", "2", "--bn-recal", "0"]
+    spk_main(base + ["--max-steps", "2"])
+    ck = Checkpointer(model, "speaker_id")
+    assert ck.latest_step() == 2
+
+    spk_main(base + ["--max-steps", "4"])
+    out = capsys.readouterr().out
+    assert "resume: speaker_id step 2" in out
+    assert ck.latest_step() == 4
+
+    # restart of the finished run: early exit, no new checkpoint
+    mtimes = sorted(os.path.getmtime(os.path.join(model, f))
+                    for f in os.listdir(model))
+    spk_main(base + ["--max-steps", "4"])
+    out = capsys.readouterr().out
+    assert "nothing to do" in out
+    assert sorted(os.path.getmtime(os.path.join(model, f))
+                  for f in os.listdir(model)) == mtimes

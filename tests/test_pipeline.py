@@ -139,15 +139,23 @@ def test_convert_seq_parallel():
 
     wav_sp, mel_sp, stft_sp = p.convert_seq_parallel(wav, n_devices=4, warmup=48)
     assert np.isfinite(wav_sp).all()
-    # compare against an unsharded full-sequence forward on the same frames
     import jax.numpy as jnp
 
     from speech_cloner_tpu.ops import mfcc_input
 
     mfcc, _, _ = mfcc_input(jnp.asarray(wav), p.feat_cfg, xp=jnp)
-    T = (mfcc.shape[0] // 4) * 4
-    mel_ref, stft_ref, _ = p.forward_windows(mfcc[None, :T])
-    err = np.median(np.abs(mel_sp - np.asarray(mel_ref[0])))
+    frames = mfcc.shape[0]
+    # no tail truncation: 2 s at hop 80 gives 401 frames (NOT divisible by
+    # n=4) and SP must still cover every real frame — the old floor-to-n
+    # dropped up to n-1 trailing frames silently
+    assert frames % 4 != 0, "fixture must exercise the non-divisible tail"
+    assert mel_sp.shape[0] == frames and stft_sp.shape[0] == frames
+    assert wav_sp.shape[0] == frames * p.feat_cfg.hop_length
+    # compare against an unsharded full-sequence forward on the same frames
+    pad_f = (-frames) % 4
+    mel_ref, stft_ref, _ = p.forward_windows(
+        jnp.pad(mfcc, ((0, pad_f), (0, 0)))[None])
+    err = np.median(np.abs(mel_sp - np.asarray(mel_ref[0, :frames])))
     assert err < 1e-3, err
 
 

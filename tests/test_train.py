@@ -454,3 +454,50 @@ def test_resume_of_finished_run_is_a_noop(tmp_path):
     mtime2 = max(os.path.getmtime(os.path.join(str(tmp_path), f))
                  for f in os.listdir(str(tmp_path)))
     assert mtime2 == mtime
+
+
+def test_resume_of_epoch_finished_run_is_a_noop(tmp_path):
+    """Same guard for the epoch-terminated path (ADVICE r03): a run that
+    stopped via n_epochs and is restarted must not train an extra epoch,
+    re-run pre_eval_fn, or rewrite the checkpoint."""
+    from speech_cloner_tpu.runtime.checkpoint import Checkpointer
+    from speech_cloner_tpu.train.loop import LoopConfig, run_training
+
+    ck = Checkpointer(str(tmp_path), "m")
+    n_steps = {"n": 0}
+
+    def train_step(ts, x):
+        n_steps["n"] += 1
+        return {**ts, "step": ts["step"] + 1,
+                "w": ts["w"] + jnp.mean(x)}, {"loss": jnp.mean(x)}
+
+    def batches():
+        for _ in range(50):
+            yield (np.ones(4, np.float32),)
+
+    calls = {"pre_eval": 0}
+
+    def pre_eval(ts):
+        calls["pre_eval"] += 1
+        return ts
+
+    ts0 = {"step": jnp.asarray(0, jnp.int64), "epoch": jnp.asarray(0, jnp.int64),
+           "w": jnp.zeros(3)}
+    cfg = LoopConfig(n_epochs=2, steps_per_epoch=4, save_each_n_epochs=1,
+                     steps_per_call=1, max_steps=None, prefetch=0)
+    run_training(ts0, batches, None, train_step, None, cfg, ckpt=ck,
+                 pre_eval_fn=pre_eval)
+    assert ck.latest_step() == 8 and n_steps["n"] == 8
+    n_pre = calls["pre_eval"]
+    mtime = max(os.path.getmtime(os.path.join(str(tmp_path), f))
+                for f in os.listdir(str(tmp_path)))
+
+    # restart: resumes at epoch 2 == n_epochs -> zero steps, no recal,
+    # no checkpoint rewrite (previously trained a whole extra epoch)
+    run_training(ts0, batches, None, train_step, None, cfg, ckpt=ck,
+                 pre_eval_fn=pre_eval)
+    assert n_steps["n"] == 8
+    assert calls["pre_eval"] == n_pre
+    mtime2 = max(os.path.getmtime(os.path.join(str(tmp_path), f))
+                 for f in os.listdir(str(tmp_path)))
+    assert mtime2 == mtime

@@ -81,7 +81,7 @@ def main():
         raise SystemExit("serve_bench: server exceeded the wall budget")
     total_wall = time.perf_counter() - t0
 
-    warm, recs = [], []
+    warm, recs, errors = [], [], []
     for line in out.splitlines():
         if not line.startswith("{"):
             continue
@@ -91,10 +91,16 @@ def main():
         elif "rtf" in rec:
             recs.append(rec)
         elif "error" in rec:
+            errors.append(rec)
             print(f"  server error record: {rec}", file=sys.stderr)
 
-    if not recs:
-        raise SystemExit("serve_bench: no successful conversion records")
+    # serve.py's stdin mode uses a BLOCKING queue put (stdin flow control is
+    # the backpressure), so every piped request must produce a record — a
+    # shortfall means the steady-state claim would be computed over a
+    # fraction of the load, so fail instead of reporting rosy percentiles
+    if len(recs) < args.n:
+        raise SystemExit(f"serve_bench: only {len(recs)}/{args.n} requests "
+                         f"converted ({len(errors)} error records)")
 
     rtfs = np.asarray([r["rtf"] for r in recs])
     walls = np.asarray([r["wall_s"] for r in recs])
@@ -112,6 +118,7 @@ def main():
         "wall_p50_s": float(np.percentile(walls, 50)),
         "wall_p95_s": float(np.percentile(walls, 95)),
         "steady_throughput_x_realtime": round(audio_s / float(walls.sum()), 1),
+        "n_errors": len(errors),
         "n_iter": args.n_iter,
     }
     print(json.dumps(result, indent=1))
