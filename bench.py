@@ -35,14 +35,12 @@ def main():
     # in 126 s in r02 and 869 s in r03), and a warm cache turns a repeat
     # bench run's compile into seconds. Round-1 measured large-executable
     # cache writes at ~170 s through the tunnel — a one-time cost the
-    # recorded compile_s fields make visible either way.
-    cache_flag = os.environ.get("SCL_COMPILE_CACHE", "1")
-    if cache_flag != "0":
-        cache_dir = cache_flag if cache_flag not in ("", "1") else \
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # recorded compile_s fields make visible either way. Shares the CLI
+    # apps' cache directory (apps/_platform.apply_compile_cache).
+    os.environ.setdefault("SCL_COMPILE_CACHE", "1")
+    from speech_cloner_tpu.apps._platform import apply_compile_cache
+
+    cache_dir = apply_compile_cache()
 
     from speech_cloner_tpu.models import decoder as dec_m
     from speech_cloner_tpu.models import encoder as enc_m
@@ -145,7 +143,7 @@ def main():
             "encoder_weights": "enc_14_ckpt" if enc_ckpt else "random",
             "compile_parity_s": round(compile_parity_s, 1),
             "compile_fast_s": round(compile_fast_s, 1),
-            "compile_cache": cache_flag != "0",
+            "compile_cache": bool(cache_dir),
         },
     }))
 

@@ -35,6 +35,10 @@ not let a slow request block ingest or queue unboundedly):
     exceeds S seconds (the device call itself cannot be cancelled, so the
     worker finishes it and reports a late record with "late": true — but the
     ingest loop and queue stay live throughout);
+  - --batch-max N: when a burst queues up, the worker drains up to N
+    same-bucket requests and converts them in ONE device program (model
+    forward over all clips' windows at once, vmapped Griffin-Lim, per-clip
+    peak norm) — under load, throughput rises while the chip stays serial;
   - a malformed stdin line (bad JSON / missing "input") produces an error
     record, never a crash; undecodable audio files are likewise reported
     and skipped (watch mode marks them done so they are not retried forever).
@@ -105,6 +109,12 @@ def main(argv=None):
                     help="exit after N requests (0 = run forever; for tests)")
     ap.add_argument("--queue-depth", type=int, default=8,
                     help="max conversions waiting behind the in-flight one")
+    ap.add_argument("--batch-max", type=int, default=1,
+                    help="opportunistically convert up to N queued requests "
+                         "of the same window bucket in ONE device program "
+                         "(vmapped Griffin-Lim; power-of-two chunks bound "
+                         "the compiled shape set). 1 = off. Ignored with "
+                         "--verify-ckpt.")
     ap.add_argument("--timeout", type=float, default=0.0,
                     help="per-request seconds before an error record is "
                          "emitted (0 = no timeout)")
@@ -160,6 +170,15 @@ def main(argv=None):
             pipe.convert_pcm16(warm_wav)
         emit({"warmed_s": dur_s,
               "compile_s": round(time.perf_counter() - t0, 1)})
+        if args.batch_max > 1 and not args.verify_ckpt:
+            # pre-compile the power-of-two batch variants of this bucket too
+            b = 2
+            while b <= args.batch_max:
+                t0 = time.perf_counter()
+                pipe.convert_batch_pcm16([warm_wav] * b)
+                emit({"warmed_s": dur_s, "batch": b,
+                      "compile_s": round(time.perf_counter() - t0, 1)})
+                b *= 2
 
     def out_path_for(in_path: str, explicit: str | None) -> str:
         if explicit:
@@ -174,41 +193,113 @@ def main(argv=None):
         except Exception as e:  # a bad request must not kill the server
             return {"input": in_path, "error": f"{type(e).__name__}: {e}"}
 
+    def convert_chunk(chunk):
+        """Convert 1..batch_max same-bucket loaded requests in one device
+        program; emit one record per request (batched requests share the
+        chunk's wall clock — their RTF reflects the amortized cost)."""
+        import numpy as np
+
+        from ..data.audio_io import write_riff_wav
+
+        t0 = time.perf_counter()
+        if len(chunk) == 1:
+            pcm_v = [pipe.convert_pcm16(chunk[0][3])]
+        else:
+            pcm_v = pipe.convert_batch_pcm16([c[3] for c in chunk])
+        wall = time.perf_counter() - t0
+        for (in_path, explicit_out, _finish, wav), pcm in zip(chunk, pcm_v):
+            out_path = out_path_for(in_path, explicit_out)
+            write_riff_wav(out_path, pcm, sr, norm=True)
+            dur = len(wav) / sr
+            emit({"input": in_path, "output": out_path,
+                  "duration_s": round(dur, 3), "wall_s": round(wall, 3),
+                  "batch": len(chunk),
+                  "rtf": round(wall / max(dur, 1e-9), 5)})
+
+    def process_batched(items):
+        """Load every drained request, group by window bucket, convert each
+        group in power-of-two chunks (bounds the compiled batch shapes to
+        log2(batch_max) variants per bucket)."""
+        from ..data.audio_io import load_audio
+
+        spw = pipe.enc_cfg.n_timesteps * pipe.feat_cfg.hop_length
+        buckets: dict[int, list] = {}
+        for in_path, explicit_out, finish in items:
+            try:
+                wav = load_audio(in_path, sr)
+            except Exception as e:
+                emit({"input": in_path, "error": f"{type(e).__name__}: {e}"})
+                finish()
+                continue
+            b = max((len(wav) + spw - 1) // spw, 1)
+            buckets.setdefault(b, []).append((in_path, explicit_out, finish, wav))
+        for group in buckets.values():
+            while group:
+                n = 1
+                while n * 2 <= min(len(group), args.batch_max):
+                    n *= 2
+                chunk, group = group[:n], group[n:]
+                try:
+                    convert_chunk(chunk)
+                except Exception as e:
+                    for (in_path, _, _, _) in chunk:
+                        emit({"input": in_path,
+                              "error": f"{type(e).__name__}: {e}"})
+                finally:
+                    for (_, _, finish, _) in chunk:
+                        finish()
+
     # one conversion at a time (the chip is serial); a bounded queue in
     # front keeps ingest responsive and memory flat under a request burst
     work: queue_mod.Queue = queue_mod.Queue(maxsize=max(args.queue_depth, 1))
     done = threading.Event()
+    batching = args.batch_max > 1 and not args.verify_ckpt
 
     def worker():
         while not done.is_set():
             try:
-                in_path, explicit_out, finish = work.get(timeout=0.2)
+                first = work.get(timeout=0.2)
             except queue_mod.Empty:
                 continue
+            items = [first]
+            if batching:
+                while len(items) < args.batch_max:
+                    try:
+                        items.append(work.get_nowait())
+                    except queue_mod.Empty:
+                        break
             try:
                 t0 = time.perf_counter()
                 timed_out = threading.Event()
                 if args.timeout > 0:
+                    inputs = [it[0] for it in items]
                     def report_timeout():
                         timed_out.set()
-                        emit({"input": in_path,
+                        emit({"input": inputs[0] if len(inputs) == 1 else inputs,
                               "error": f"timeout after {args.timeout}s "
                                        "(conversion still running)"})
                     watchdog = threading.Timer(args.timeout, report_timeout)
                     watchdog.start()
-                rec = convert_one(in_path, explicit_out)
+                if batching:
+                    process_batched(items)
+                else:
+                    in_path, explicit_out, finish = items[0]
+                    try:
+                        rec = convert_one(in_path, explicit_out)
+                        if args.timeout > 0 and timed_out.is_set():
+                            rec["late"] = True
+                            rec["wall_s"] = round(time.perf_counter() - t0, 3)
+                        emit(rec)
+                    finally:
+                        finish()
                 if args.timeout > 0:
                     watchdog.cancel()
-                    if timed_out.is_set():
-                        rec["late"] = True
-                        rec["wall_s"] = round(time.perf_counter() - t0, 3)
-                emit(rec)
             except Exception as e:  # the worker must never die silently
-                emit({"input": in_path,
+                emit({"input": [it[0] for it in items],
                       "error": f"worker: {type(e).__name__}: {e}"})
             finally:
-                finish()
-                work.task_done()
+                for _ in items:
+                    work.task_done()
 
     worker_t = threading.Thread(target=worker, daemon=True)
     worker_t.start()

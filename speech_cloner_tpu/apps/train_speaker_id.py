@@ -46,6 +46,11 @@ def main(argv=None):
                     help="also score fully-vocoded validation (always on when "
                          "--vocoded-augment > 0); lets an augment-0 control "
                          "report both domains for an A/B comparison")
+    ap.add_argument("--keep-ckpts", type=int, default=5,
+                    help="retain only the newest N checkpoints (best-weight "
+                         "saves are ~0.5 GB each at production geometry and "
+                         "an improving run writes dozens); 0 = keep all "
+                         "(reference Saver max_to_keep=9999 behavior)")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -199,6 +204,12 @@ def main(argv=None):
                 best_val = float(np.mean(val_hist[-10:]))
                 ckpt.save(recal(ts), step=i_step,
                           config={**cfg_snapshot, "best_val": best_val})
+                if args.keep_ckpts:
+                    ckpt.wait()  # the async write must land before trimming
+                    import os as _os
+
+                    for s in ckpt.steps()[:-args.keep_ckpts]:
+                        _os.remove(ckpt._path(s))
             i_step += 1
             if args.max_steps is not None and i_step >= args.max_steps:
                 ckpt.save(recal(ts), step=i_step,

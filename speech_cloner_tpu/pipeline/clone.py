@@ -227,6 +227,37 @@ class ClonePipeline:
         wav_pred = np.asarray(wav_pred)[:frames * self.feat_cfg.hop_length]
         return wav_pred, np.asarray(mel[0, :frames]), np.asarray(stft[0, :frames])
 
+    def device_convert_batch_pcm16(self, wavs, key):
+        """Batched serving fast path: [B, L] waveforms -> [B, ~L] int16 PCM.
+
+        One device program converts the whole batch — model forward over all
+        clips' windows at once, Griffin-Lim vmapped over clips, per-clip peak
+        normalization — and only the PCM crosses the device boundary. This is
+        the device half of the serve worker's opportunistic request batching
+        (the reference's test.py could only convert clips one at a time).
+        """
+        _, stft, _ = jax.vmap(self.device_predict)(wavs)
+        keys = jax.random.split(key, wavs.shape[0])
+        return jax.vmap(self.device_vocode_pcm16)(stft, keys)
+
+    def convert_batch_pcm16(self, wavs, seed: int = 0):
+        """Host API: B arbitrary-length waveforms -> list of int16 PCM arrays.
+
+        All clips are padded to the longest clip's window bucket (identical
+        padding rule as convert_pcm16, so a batched conversion produces the
+        same per-clip output shape the unbatched path would for that bucket).
+        """
+        spw = self.enc_cfg.n_timesteps * self.feat_cfg.hop_length
+        L = max(int(np.shape(w)[0]) for w in wavs)
+        pad_to = max(((L + spw - 1) // spw) * spw, spw)
+        stacked = np.stack([
+            np.pad(np.asarray(w, np.float32), (0, pad_to - np.shape(w)[0]))
+            for w in wavs])
+        fn = self._jitted("batch_pcm16", stacked.shape,
+                          lambda: jax.jit(self.device_convert_batch_pcm16))
+        out = np.asarray(fn(jnp.asarray(stacked), jax.random.PRNGKey(seed)))
+        return list(out)
+
     def convert_batch(self, wavs, seed: int = 0):
         """Host API: list/array of equal-length waveforms -> batched outputs."""
         wavs = np.stack([np.asarray(w, np.float32) for w in wavs])

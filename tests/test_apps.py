@@ -10,6 +10,8 @@ import pytest
 from speech_cloner_tpu.runtime.checkpoint import Checkpointer
 from tests.test_data import _make_arctic_tree, _make_timit_tree
 
+pytestmark = pytest.mark.slow  # app-level integration: run via -m slow
+
 
 @pytest.fixture(scope="module")
 def timit_root(tmp_path_factory):
@@ -395,3 +397,36 @@ def test_train_speaker_id_resumes(timit_root, tmp_path, capsys):
     assert "nothing to do" in out
     assert sorted(os.path.getmtime(os.path.join(model, f))
                   for f in os.listdir(model)) == mtimes
+
+
+def test_serve_app_batched(serve_models, arctic_root, tmp_path, monkeypatch, capsys):
+    """--batch-max: a burst of same-bucket requests drains into ONE device
+    program (records carry batch>1) and every request still gets its own
+    result record and output file."""
+    import glob
+    import io
+
+    from speech_cloner_tpu.apps.serve import main as serve_main
+
+    m = serve_models
+    wavs = sorted(glob.glob(os.path.join(arctic_root, "**", "*.wav"),
+                            recursive=True))[:1]
+    outs = [str(tmp_path / f"b{i}.wav") for i in range(3)]
+    monkeypatch.setattr("sys.stdin", io.StringIO("".join(
+        json.dumps({"input": wavs[0], "output": o}) + "\n" for o in outs)))
+    serve_main(["--enc-ckpt", m["enc_path"], "--dec-ckpt", m["dec_path"],
+                "--enc-cfg", m["enc_cfg"], "--dec-cfg", m["dec_cfg"],
+                "--ds-cfg", m["ds_cfg"], "--output-dir", str(tmp_path),
+                "--n-iter", "4", "--max-requests", "3", "--batch-max", "2",
+                "--warm", "1", "--queue-depth", "8"])
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    results = [r for r in recs if "rtf" in r]
+    assert len(results) == 3
+    for r in results:
+        assert "error" not in r and os.path.exists(r["output"])
+    # the burst was issued before the worker started converting (warm-up
+    # serialized ingest), so at least one chunk must have batched 2 requests
+    assert max(r["batch"] for r in results) >= 2
+    # batch warm-up emitted per-batch compile records
+    assert any(w.get("batch") for w in recs if "warmed_s" in w)

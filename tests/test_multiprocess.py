@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # app-level integration: run via -m slow
+
 WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

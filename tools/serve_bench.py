@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--ds-cfg")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--durations", default="2,5,10,20")
+    ap.add_argument("--batch-max", type=int, default=1,
+                    help="serve --batch-max: opportunistic same-bucket "
+                         "request batching (one device program per chunk)")
     ap.add_argument("--n-iter", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
@@ -64,6 +67,7 @@ def main():
            "--output-dir", os.path.join(work, "out"),
            "--n-iter", str(args.n_iter),
            "--warm", args.durations,
+           "--batch-max", str(args.batch_max),
            "--max-requests", str(args.n)]
     for flag, val in (("--enc-cfg", args.enc_cfg), ("--dec-cfg", args.dec_cfg),
                       ("--ds-cfg", args.ds_cfg)):
@@ -71,8 +75,12 @@ def main():
             cmd += [flag, val]
 
     t0 = time.perf_counter()
+    # persistent compile cache for the server: a restarted/redeployed server
+    # re-warms its buckets from cache in seconds instead of recompiling
+    env = {**os.environ}
+    env.setdefault("SCL_COMPILE_CACHE", "1")
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                            text=True)
+                            text=True, env=env)
     stdin_payload = "".join(p + "\n" for p, _ in reqs)
     try:
         out, _ = proc.communicate(stdin_payload, timeout=args.timeout)
@@ -117,7 +125,12 @@ def main():
         "rtf_max": float(rtfs.max()),
         "wall_p50_s": float(np.percentile(walls, 50)),
         "wall_p95_s": float(np.percentile(walls, 95)),
+        # per-request walls double-count a batched chunk's shared wall, so
+        # also report wall-clock throughput over the whole serving window
         "steady_throughput_x_realtime": round(audio_s / float(walls.sum()), 1),
+        "wallclock_throughput_x_realtime":
+            round(audio_s / max(total_wall - compile_s, 1e-9), 1),
+        "batch_max": args.batch_max,
         "n_errors": len(errors),
         "n_iter": args.n_iter,
     }
