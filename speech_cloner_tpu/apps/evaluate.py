@@ -44,6 +44,12 @@ def main(argv=None):
     ap.add_argument("--spk-id", default="slt")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--n-batches", type=int, default=100)
+    ap.add_argument("--vocoded", action="store_true",
+                    help="speaker mode: score Griffin-Lim-resynthesized "
+                         "windows instead of clean ones (the verifier's "
+                         "deployment domain — it judges vocoded conversion "
+                         "output, test.py:160-168)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -92,12 +98,20 @@ def main(argv=None):
         split = {"split_key": "spk_id", "split_props_v": (0.8, 0.9),
                  "split_type": args.split}
         ev = jax.jit(lambda p, s, x, y: speaker_eval_step(p, s, x, y, cfg=spk_cfg))
+        voc_fn = None
+        if args.vocoded:
+            from ..train.augment import mix_vocoded
+
+            voc_fn = jax.jit(lambda x, k: mix_vocoded(x, feat_cfg, key=k,
+                                                      frac=1.0))
         # weight each batch by its size: a smaller final batch must not be
         # over-weighted relative to full batches (acc is a per-batch mean)
         correct, n, n_batches = 0.0, 0, 0
         for _, _, power, cls in ds.speaker_spec_sampler(
                 args.batch_size, n_epochs=1, ds_filter_d={"split_d": split},
                 base_name="phn_mfcc_cache.h5py"):
+            if voc_fn is not None:
+                power = voc_fn(power, jax.random.PRNGKey(args.seed + n_batches))
             m = ev(params, state, power, cls)
             correct += float(m["acc"]) * power.shape[0]
             n += power.shape[0]
@@ -105,7 +119,8 @@ def main(argv=None):
             if n_batches >= args.n_batches:
                 break
         acc = correct / n if n else float("nan")
-        print(f" speaker-ID {args.split} accuracy over {n} windows "
+        domain = "vocoded" if args.vocoded else "clean"
+        print(f" speaker-ID {args.split} ({domain}) accuracy over {n} windows "
               f"({len(spk_id_v)} classes): {acc:.4f}")
     else:
         from ..data.arctic import ARCTIC
