@@ -50,6 +50,10 @@ def main(argv=None):
                          "deployment domain — it judges vocoded conversion "
                          "output, test.py:160-168)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-epochs", type=int, default=1,
+                    help="speaker mode: sampler epochs — each epoch draws "
+                         "fresh random window crops from the same held-out "
+                         "utterances, tightening the accuracy estimate")
     args = ap.parse_args(argv)
 
     ds_cfg_d = load_cfg_d(args.ds_cfg) if args.ds_cfg else dict(DEFAULT_DS_CFG)
@@ -108,7 +112,8 @@ def main(argv=None):
         # over-weighted relative to full batches (acc is a per-batch mean)
         correct, n, n_batches = 0.0, 0, 0
         for _, _, power, cls in ds.speaker_spec_sampler(
-                args.batch_size, n_epochs=1, ds_filter_d={"split_d": split},
+                args.batch_size, n_epochs=args.n_epochs,
+                ds_filter_d={"split_d": split},
                 base_name="phn_mfcc_cache.h5py"):
             if voc_fn is not None:
                 power = voc_fn(power, jax.random.PRNGKey(args.seed + n_batches))

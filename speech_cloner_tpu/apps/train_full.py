@@ -43,9 +43,10 @@ def main(argv=None):
     ap.add_argument("--enc-steps", type=int, default=None)
     ap.add_argument("--dec-steps", type=int, default=None)
     ap.add_argument("--spk-steps", type=int, default=None)
-    ap.add_argument("--spk-vocoded-augment", type=float, default=0.0,
+    ap.add_argument("--spk-vocoded-augment", type=float, default=0.5,
                     help="stage-3 vocoded-augmentation fraction "
-                         "(train_speaker_id --vocoded-augment)")
+                         "(train_speaker_id --vocoded-augment; default 0.5 "
+                         "per the measured A/B in docs/DESIGN.md)")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training for stages 1-2 "
                          "(train_encoder/train_decoder --bf16)")

@@ -37,11 +37,14 @@ def main(argv=None):
     ap.add_argument("--bn-recal", type=int, default=8,
                     help="recalibrate BN moving stats over k train batches "
                          "before each checkpoint save (0 = moving-average only)")
-    ap.add_argument("--vocoded-augment", type=float, default=0.0,
+    ap.add_argument("--vocoded-augment", type=float, default=0.5,
                     help="fraction of training windows replaced by their "
                          "on-device Griffin-Lim resynthesis (train/augment.py) "
-                         "so the verifier generalizes to converted audio; "
-                         "0 = reference behavior")
+                         "so the verifier generalizes to converted audio — its "
+                         "deployment domain. Default 0.5 per the measured A/B "
+                         "(docs/DESIGN.md: vocoded val acc 0.792 vs 0.377 at "
+                         "augment 0, clean acc unchanged); 0 = reference "
+                         "behavior (voice_identification.py trains clean-only)")
     ap.add_argument("--vocoded-val", action="store_true",
                     help="also score fully-vocoded validation (always on when "
                          "--vocoded-augment > 0); lets an augment-0 control "
