@@ -48,8 +48,8 @@ def main(argv=None):
                          "(train_speaker_id --vocoded-augment; default 0.5 "
                          "per the measured A/B in docs/DESIGN.md)")
     ap.add_argument("--bf16", action="store_true",
-                    help="mixed-precision training for stages 1-2 "
-                         "(train_encoder/train_decoder --bf16)")
+                    help="mixed-precision training for stages 1-3 "
+                         "(--bf16 on the encoder/decoder/speaker trainers)")
     ap.add_argument("--enc-epochs", type=int, default=50)
     ap.add_argument("--dec-epochs", type=int, default=300)
     ap.add_argument("--dec-prop-val", type=float, default=0.02)
@@ -131,8 +131,11 @@ def main(argv=None):
                 "--batch-size", str(args.batch_size)] + common_ds
     if args.spk_steps is not None:
         spk_args += ["--max-steps", str(args.spk_steps)]
-    if args.spk_vocoded_augment > 0.0:
-        spk_args += ["--vocoded-augment", str(args.spk_vocoded_augment)]
+    # always forward the value: the child CLI's own default is 0.5, so an
+    # explicit --spk-vocoded-augment 0 must reach it to mean "off"
+    spk_args += ["--vocoded-augment", str(args.spk_vocoded_augment)]
+    if args.bf16:
+        spk_args += ["--bf16"]
     run_stage("train_speaker_id", spk_args)
 
     # stage 4: clone demo (TESTS 1-3) + speaker-ID verification

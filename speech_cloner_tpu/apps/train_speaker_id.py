@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.timit import TIMIT
@@ -45,6 +46,10 @@ def main(argv=None):
                          "(docs/DESIGN.md: vocoded val acc 0.792 vs 0.377 at "
                          "augment 0, clean acc unchanged); 0 = reference "
                          "behavior (voice_identification.py trains clean-only)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 forward/backward, "
+                         "f32 master weights and BN stats (measured 1.77x "
+                         "per-step on v5e — docs/DESIGN.md MFU table)")
     ap.add_argument("--vocoded-val", action="store_true",
                     help="also score fully-vocoded validation (always on when "
                          "--vocoded-augment > 0); lets an augment-0 control "
@@ -81,16 +86,21 @@ def main(argv=None):
     opt = opt_cfg.make()
     ts = make_train_state(params, state, opt_cfg, jax.random.PRNGKey(args.seed + 1))
 
+    # bf16 compute (f32 master weights): measured 28.8 -> 16.2 ms/step on
+    # v5e — the CNN's conv activations are pure HBM traffic, so halving
+    # bytes nearly halves the step (docs/DESIGN.md MFU table)
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
     if args.vocoded_augment > 0.0:
         from ..train.augment import mix_vocoded
 
         # augmentation fused into the train-step dispatch (vmapped fast-GL)
         step = jax.jit(lambda t, x, y, k: speaker_train_step(
             t, mix_vocoded(x, feat_cfg, key=k, frac=args.vocoded_augment),
-            y, cfg=cfg, opt_cfg=opt_cfg, opt=opt))
+            y, cfg=cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=compute_dtype))
     else:
         step = jax.jit(lambda t, x, y, k: speaker_train_step(
-            t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt))
+            t, x, y, cfg=cfg, opt_cfg=opt_cfg, opt=opt,
+            compute_dtype=compute_dtype))
     ev = jax.jit(lambda p, s, x, y: speaker_eval_step(p, s, x, y, cfg=cfg))
 
     def val_stream():

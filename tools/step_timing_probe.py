@@ -32,6 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from speech_cloner_tpu.apps._platform import apply_compile_cache
+
+    apply_compile_cache()  # opt-in via SCL_COMPILE_CACHE=1: reruns skip the
+    # ~200 s of remote train-step compiles
+
     from speech_cloner_tpu.models import decoder as dec_m
     from speech_cloner_tpu.models import encoder as enc_m
     from speech_cloner_tpu.models import speaker_id as spk_m
@@ -46,25 +51,40 @@ def main():
 
     print(f"backend: {jax.default_backend()}", flush=True)
     B = args.batch
-    K = 5 if args.quick else 10
+    # K must amortize the final fetch's RPC round trip (tens of ms through
+    # the tunnel) to sub-ms per-step error
+    K = 5 if args.quick else 50
     rng = np.random.default_rng(0)
     opt_cfg = OptimizerConfig()
     opt = opt_cfg.make()
     loss_cfg = DecoderLossConfig()
 
     def chain_time(name, fn, ts, *batch):
-        """Compile, then time K chained dispatches (ts threaded, one block)."""
+        """Compile, then time K chained dispatches ending in a hard host
+        fetch of a scalar metric.
+
+        block_until_ready alone is NOT a sync point for small programs on
+        the axon remote runtime: the encoder step "measured" 0.32 ms that
+        way but 4.7 ms with a hard fetch (np.asarray of the Kth step's
+        loss), while big programs (decoder, 52 ms) read the same both ways
+        — the enqueue path itself backpressures once steps are large. A
+        warmup chain absorbs a one-time post-compile stall (~50 s observed)
+        before the timed rounds."""
         t0 = time.perf_counter()
         out = fn(ts, *batch)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
+        cur = ts
+        for _ in range(5):  # warmup: absorb post-compile pipeline stalls
+            cur, metrics = fn(cur, *batch)
+        float(np.asarray(metrics["loss"]))
         best = float("inf")
         for _ in range(3):
             cur = ts
             t0 = time.perf_counter()
             for _ in range(K):
                 cur, metrics = fn(cur, *batch)
-            jax.block_until_ready((cur, metrics))
+            float(np.asarray(metrics["loss"]))  # hard sync: full K-chain done
             best = min(best, (time.perf_counter() - t0) / K)
         print(f"{name}: compile {compile_s:6.1f}s  chained step "
               f"{best * 1e3:7.2f} ms", flush=True)
