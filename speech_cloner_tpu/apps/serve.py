@@ -263,7 +263,14 @@ def main(argv=None):
                 continue
             items = [first]
             if batching:
-                while len(items) < args.batch_max:
+                # drain the whole (bounded) queue, not just batch_max items:
+                # process_batched groups by window bucket and chunks each
+                # group to batch_max, so a mixed-length burst still batches
+                # per bucket — draining only batch_max items from a
+                # round-robin arrival order yields one item per bucket and
+                # defeats batching entirely (measured: 50 mixed requests,
+                # every chunk batch=1)
+                while True:
                     try:
                         items.append(work.get_nowait())
                     except queue_mod.Empty:

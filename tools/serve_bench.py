@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batch-max", type=int, default=1,
                     help="serve --batch-max: opportunistic same-bucket "
                          "request batching (one device program per chunk)")
+    ap.add_argument("--queue-depth", type=int, default=0,
+                    help="serve --queue-depth; 0 = auto "
+                         "(4 buckets x batch-max so a burst can fill every "
+                         "bucket's batch)")
     ap.add_argument("--n-iter", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
@@ -68,6 +72,8 @@ def main():
            "--n-iter", str(args.n_iter),
            "--warm", args.durations,
            "--batch-max", str(args.batch_max),
+           "--queue-depth",
+           str(args.queue_depth or max(8, len(durs) * args.batch_max)),
            "--max-requests", str(args.n)]
     for flag, val in (("--enc-cfg", args.enc_cfg), ("--dec-cfg", args.dec_cfg),
                       ("--ds-cfg", args.ds_cfg)):
