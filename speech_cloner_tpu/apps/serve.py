@@ -63,6 +63,7 @@ def _result(pipe, feat_cfg, in_path: str, out_path: str, verify_ckpt=None,
     from ..data.audio_io import load_audio, write_riff_wav
 
     sr = feat_cfg.sample_rate
+    t_in = time.perf_counter()
     wav = load_audio(in_path, sr)
     dur = len(wav) / sr
     t0 = time.perf_counter()
@@ -75,6 +76,9 @@ def _result(pipe, feat_cfg, in_path: str, out_path: str, verify_ckpt=None,
     write_riff_wav(out_path, wav_pred, sr, norm=True)
     rec = {"input": in_path, "output": out_path,
            "duration_s": round(dur, 3), "wall_s": round(wall, 3),
+           # host-side cost around the device call (audio decode + RIFF
+           # write) — the serving wall-clock gap serve_bench surfaced
+           "host_s": round(time.perf_counter() - t_in - wall, 3),
            "rtf": round(wall / max(dur, 1e-9), 5)}
     if verify_ckpt:
         from ..pipeline.verify import verify_conversion
@@ -156,6 +160,10 @@ def main(argv=None):
     emit_lock = threading.Lock()
 
     def emit(rec: dict):
+        # "ts" stamps every record so a client can compute steady-state
+        # windows (e.g. serve_bench: last-result ts minus last-warm ts)
+        # without folding server boot / compile time into throughput
+        rec.setdefault("ts", round(time.time(), 3))
         with emit_lock:
             sys.stdout.write(json.dumps(rec) + "\n")
             sys.stdout.flush()

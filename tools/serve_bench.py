@@ -120,6 +120,17 @@ def main():
     walls = np.asarray([r["wall_s"] for r in recs])
     audio_s = float(sum(r["duration_s"] for r in recs))
     compile_s = float(sum(w["compile_s"] for w in warm))
+    # steady serving window from the server's own record timestamps: last
+    # result minus end of warming. total_wall - compile_s is NOT that — it
+    # still contains server boot (imports, checkpoint load, device init),
+    # a fixed ~6-8 s that misread as a per-request host cost until the
+    # records carried "ts" (measured: host decode+write is <5 ms/request)
+    t_ready = (max(w["ts"] for w in warm) if warm and "ts" in warm[0]
+               else None)
+    t_last = (max(r["ts"] for r in recs) if "ts" in recs[0] else None)
+    steady_window_s = (t_last - t_ready
+                       if t_ready is not None and t_last is not None
+                       else max(total_wall - compile_s, 1e-9))
     result = {
         "n_requests": len(recs),
         "duration_buckets_s": durs,
@@ -132,10 +143,12 @@ def main():
         "wall_p50_s": float(np.percentile(walls, 50)),
         "wall_p95_s": float(np.percentile(walls, 95)),
         # per-request walls double-count a batched chunk's shared wall, so
-        # also report wall-clock throughput over the whole serving window
+        # also report wall-clock throughput over the steady serving window
+        # (warm-done -> last record, from server timestamps)
         "steady_throughput_x_realtime": round(audio_s / float(walls.sum()), 1),
+        "steady_window_s": round(steady_window_s, 2),
         "wallclock_throughput_x_realtime":
-            round(audio_s / max(total_wall - compile_s, 1e-9), 1),
+            round(audio_s / steady_window_s, 1),
         "batch_max": args.batch_max,
         "n_errors": len(errors),
         "n_iter": args.n_iter,
