@@ -430,3 +430,49 @@ def test_serve_app_batched(serve_models, arctic_root, tmp_path, monkeypatch, cap
     assert max(r["batch"] for r in results) >= 2
     # batch warm-up emitted per-batch compile records
     assert any(w.get("batch") for w in recs if "warmed_s" in w)
+
+
+def test_serve_app_batched_mixed_buckets(serve_models, tmp_path, monkeypatch,
+                                         capsys):
+    """Regression: a round-robin burst over TWO length buckets must still
+    batch within each bucket. The r4 serving bench caught the worker
+    draining only batch_max queue items, which under alternating arrival
+    order yields one item per bucket — every chunk silently ran batch=1."""
+    import io
+
+    import numpy as np
+
+    from speech_cloner_tpu.apps.serve import main as serve_main
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+
+    m = serve_models
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(8):
+        dur = (1, 2)[i % 2]  # alternate buckets request by request
+        p = str(tmp_path / f"mix{i}_{dur}s.wav")
+        write_riff_wav(p, rng.standard_normal(16000 * dur).astype(np.float32),
+                       16000, norm=True)
+        reqs.append(p)
+    monkeypatch.setattr("sys.stdin", io.StringIO("".join(p + "\n" for p in reqs)))
+    serve_main(["--enc-ckpt", m["enc_path"], "--dec-ckpt", m["dec_path"],
+                "--enc-cfg", m["enc_cfg"], "--dec-cfg", m["dec_cfg"],
+                "--ds-cfg", m["ds_cfg"], "--output-dir", str(tmp_path / "out"),
+                # batch-max 2 is the discriminating geometry: the buggy
+                # drain takes exactly batch_max items -> one per bucket ->
+                # batch=1 everywhere; the fixed drain takes the whole queue
+                # -> 4 per bucket -> chunks of 2
+                "--n-iter", "4", "--max-requests", "8", "--batch-max", "2",
+                "--warm", "1,2", "--queue-depth", "16"])
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    results = [r for r in recs if "rtf" in r]
+    assert len(results) == 8 and all("error" not in r for r in results)
+    # per bucket: 4 requests queued behind the warm-up must batch together,
+    # not convert one by one (each duration maps to its own window bucket)
+    by_dur = {}
+    for r in results:
+        by_dur.setdefault(round(r["duration_s"]), []).append(r["batch"])
+    assert set(by_dur) == {1, 2}
+    for dur, batches in by_dur.items():
+        assert max(batches) >= 2, (dur, batches)
