@@ -33,6 +33,7 @@ def griffin_lim(
     init_phase=None,
     momentum: float = 0.0,
     unroll: int = 1,
+    return_stft: bool = False,
 ):
     """Phase reconstruction from a time-major magnitude spectrogram [T, F].
 
@@ -40,6 +41,10 @@ def griffin_lim(
     then num_iters rounds of istft -> stft -> keep-phase/replace-magnitude,
     where the final round is istft only. ``init_phase`` overrides the random
     init for deterministic/parity runs.
+
+    ``return_stft`` also returns the final complex spectrogram the waveform
+    was synthesized from — the streaming pipeline carries its trailing phase
+    into the next chunk's ``init_phase`` for phase-coherent continuation.
 
     ``momentum`` > 0 enables Fast Griffin-Lim (Perraudin et al.; see also
     Deep Griffin-Lim Iteration, arXiv:1903.03971): the projected spectrogram
@@ -99,8 +104,9 @@ def griffin_lim(
 
         S, _ = jax.lax.fori_loop(0, n_body // k, body,
                                  (S0, jnp.zeros_like(S0)))
-    return istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
-                 window=window, xp=jnp)
+    wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+                window=window, xp=jnp)
+    return (wav, S) if return_stft else wav
 
 
 def from_power_to_wav(

@@ -1,0 +1,146 @@
+"""Streaming conversion tests: the incremental path must match the exact
+full-sequence forward (up to the documented context truncation), be
+deterministic, invariant to push block sizes and to the frozen input gain,
+and emit exactly one hop of audio per input frame."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_cloner_tpu.models import decoder as dec_m
+from speech_cloner_tpu.models import encoder as enc_m
+from speech_cloner_tpu.ops import mfcc_input
+from speech_cloner_tpu.ops.features import FeatureConfig
+from speech_cloner_tpu.pipeline import clone
+from speech_cloner_tpu.pipeline.stream import StreamingCloner
+
+
+def _tiny_pipeline(n_iter=4):
+    enc_cfg = enc_m.EncoderConfig(n_timesteps=48, input_dim=80, n_output=61,
+                                  num_conv_banks=2, num_highwaynet_blocks=1)
+    dec_cfg = dec_m.DecoderConfig(
+        n_timesteps=48, input_dim=61,
+        step1=dec_m.DecoderStepConfig(32, 2, 1, 80),
+        step2=dec_m.DecoderStepConfig(48, 2, 1, 201),
+    )
+    feat_cfg = FeatureConfig(calc_mfcc_derivate=True)
+    return clone.make_pipeline(enc_cfg, dec_cfg, feat_cfg, n_iter=n_iter)
+
+
+def _speechy_wav(seconds=3.0, sr=16000, seed=0):
+    """Broadband signal with slow amplitude modulation (so the frozen-gain
+    and running-max carries are actually exercised, not trivially constant)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * 0.7 * t)
+    wav = env * (np.sin(2 * np.pi * 220 * t)
+                 + 0.5 * np.sin(2 * np.pi * 660 * t + 1.0)
+                 + 0.15 * rng.standard_normal(t.size))
+    return wav.astype(np.float32)
+
+
+def test_streaming_matches_exact_forward():
+    """Streamed stft_pred vs the exact (unchunked, whole-clip) forward."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(3.0)
+    hop = p.feat_cfg.hop_length
+
+    s = StreamingCloner(p, chunk_frames=96, context_frames=96,
+                        lookahead_frames=64, margin_frames=8,
+                        collect_debug=True)
+    out = s.convert_all(wav, block=7919)
+    total = wav.size // hop + 1
+    assert out.size == total * hop
+    assert np.isfinite(out).all()
+
+    streamed = np.concatenate(s.debug_stft, axis=0)
+    assert streamed.shape[0] == total
+
+    # exact forward: offline features (whole-clip statistics) + one pass
+    mfcc, _, _ = mfcc_input(jnp.asarray(wav), p.feat_cfg, xp=jnp)
+    pad = (-mfcc.shape[0]) % 1  # no pad needed; full-T forward is length-free
+    _, stft_ref, _ = p.forward_windows(mfcc[None])
+    stft_ref = np.asarray(stft_ref[0])
+
+    err = np.abs(streamed - stft_ref[:total])
+    # random tiny weights: same tolerance class as the halo warmup tests
+    assert np.median(err) < 5e-3, np.median(err)
+    assert err.max() < 0.1, err.max()
+
+
+def test_streaming_push_block_size_invariance():
+    """Identical output no matter how the audio is sliced into pushes."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(2.0, seed=3)
+
+    outs = []
+    for block in (wav.size, 16000, 1234):
+        s = StreamingCloner(p, chunk_frames=64, context_frames=64,
+                            lookahead_frames=48, margin_frames=8)
+        outs.append(s.convert_all(wav, block=block))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_streaming_gain_invariance():
+    """The carried-c0 normalization makes the model input invariant to the
+    frozen input gain: forcing a 4x different gain must give (nearly) the
+    same predicted spectrogram."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(1.5, seed=5)
+    kw = dict(chunk_frames=64, context_frames=64, lookahead_frames=48,
+              margin_frames=8, collect_debug=True)
+
+    s1 = StreamingCloner(p, **kw)
+    s1.convert_all(wav)
+    g = s1._gain
+    s2 = StreamingCloner(p, input_gain=4.0 * g, **kw)
+    s2.convert_all(wav)
+
+    a = np.concatenate(s1.debug_stft)
+    b = np.concatenate(s2.debug_stft)
+    assert np.abs(a - b).max() < 1e-3
+
+
+def test_streaming_short_clip_flush_only():
+    """A clip shorter than one chunk converts entirely in flush()."""
+    p = _tiny_pipeline()
+    hop = p.feat_cfg.hop_length
+    wav = _speechy_wav(0.2)  # 0.2 s << chunk
+    s = StreamingCloner(p, chunk_frames=64, context_frames=64,
+                        lookahead_frames=48, margin_frames=8)
+    assert s.push(wav).size == 0
+    out = s.flush()
+    assert out.size == (wav.size // hop + 1) * hop
+    assert np.isfinite(out).all()
+    # stream is closed
+    with pytest.raises(RuntimeError):
+        s.push(wav)
+    assert s.flush().size == 0
+
+
+def test_streaming_latency_accounting():
+    """First output appears exactly when min_input_frames are buffered."""
+    p = _tiny_pipeline()
+    hop = p.feat_cfg.hop_length
+    s = StreamingCloner(p, chunk_frames=64, context_frames=32,
+                        lookahead_frames=48, margin_frames=8)
+    need = s.min_input_frames * hop
+    wav = _speechy_wav(3.0)
+    assert s.push(wav[: need - 1]).size == 0
+    first = s.push(wav[need - 1 : need])
+    assert first.size == 64 * hop  # exactly one chunk
+    assert s.latency_seconds == pytest.approx(need / 16000)
+
+
+def test_griffin_lim_return_stft():
+    from speech_cloner_tpu.ops.griffin_lim import griffin_lim
+
+    rng = np.random.default_rng(0)
+    amp = jnp.asarray(rng.random((40, 201)).astype(np.float32))
+    wav0 = griffin_lim(amp, 400, 80, num_iters=3, key=jax.random.PRNGKey(1))
+    wav1, S = griffin_lim(amp, 400, 80, num_iters=3,
+                          key=jax.random.PRNGKey(1), return_stft=True)
+    np.testing.assert_array_equal(np.asarray(wav0), np.asarray(wav1))
+    assert S.shape == amp.shape and jnp.iscomplexobj(S)
