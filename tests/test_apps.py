@@ -476,3 +476,37 @@ def test_serve_app_batched_mixed_buckets(serve_models, tmp_path, monkeypatch,
     assert set(by_dur) == {1, 2}
     for dur, batches in by_dur.items():
         assert max(batches) >= 2, (dur, batches)
+
+
+def test_stream_app(serve_models, tmp_path):
+    """Streaming CLI: incremental conversion end to end, latency stats out."""
+    import numpy as np
+
+    from speech_cloner_tpu.apps.stream import main as stream_main
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+
+    m = serve_models
+    rng = np.random.default_rng(1)
+    t = np.arange(2 * 16000) / 16000.0
+    wav = (0.5 * np.sin(2 * np.pi * 260 * t)
+           + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+    src = str(tmp_path / "live.wav")
+    write_riff_wav(src, wav, 16000, norm=True)
+    out = str(tmp_path / "streamed.wav")
+    stats = stream_main([
+        "--input", src, "--output", out,
+        "--enc-ckpt", m["enc_path"], "--dec-ckpt", m["dec_path"],
+        "--enc-cfg", m["enc_cfg"], "--dec-cfg", m["dec_cfg"],
+        "--ds-cfg", m["ds_cfg"],
+        "--chunk-frames", "64", "--context-frames", "64",
+        "--lookahead-frames", "48", "--margin-frames", "8",
+        "--n-iter", "4", "--block-ms", "50",
+        "--stats-json", str(tmp_path / "stream_stats.json")])
+    assert os.path.exists(out) and os.path.exists(str(tmp_path / "stream_stats.json"))
+    assert stats["chunks"] >= 3
+    assert stats["algorithmic_latency_s"] == pytest.approx(
+        (64 + 48 + 4) * 80 / 16000.0)
+    import wave
+
+    with wave.open(out) as w:
+        assert w.getnframes() == (wav.size // 80 + 1) * 80
