@@ -138,17 +138,24 @@ def main(argv=None):
     write_riff_wav(args.output, wav_out, sr, norm=True)
     print(f" wrote {args.output} ({wav_out.size / sr:.1f}s)")
 
-    warm = chunk_wall_ms[1:] if len(chunk_wall_ms) > 1 else chunk_wall_ms
+    # warm = chunks not inflated by a compile: the first few shapes (first
+    # window, ramp-up, steady) each compile once; exclude anything > 3x the
+    # overall median so the steady-state numbers describe steady state
+    med = float(np.median(chunk_wall_ms)) if chunk_wall_ms else 0.0
+    warm = [t for t in chunk_wall_ms[1:] if t <= 3 * med] or chunk_wall_ms[-1:]
+    chunk_audio_s = args.chunk_frames * feat_cfg.hop_length / sr
     stats = {
         "audio_s": round(dur, 3),
         "chunks": len(chunk_wall_ms),
         "algorithmic_latency_s": round(s.latency_seconds, 3),
         "first_chunk_ms": round(chunk_wall_ms[0], 1) if chunk_wall_ms else None,
+        "compile_chunks": max(0, len(chunk_wall_ms) - 1 - len(warm)),
         "warm_chunk_ms_p50": round(float(np.median(warm)), 1) if warm else None,
         "warm_chunk_ms_max": round(float(np.max(warm)), 1) if warm else None,
         "flush_ms": round(flush_ms, 1),
-        "compute_rtf": round((sum(chunk_wall_ms) / 1e3 + flush_ms / 1e3) / dur, 5)
-        if dur else None,
+        # steady-state compute per second of audio (warm chunks only)
+        "warm_compute_rtf": round(float(np.median(warm)) / 1e3 / chunk_audio_s, 5)
+        if warm else None,
         "realtime": bool(args.realtime),
         "wall_s": round(total_wall, 2),
     }

@@ -10,15 +10,18 @@ This capability has no reference counterpart; it falls out of the
 device-resident pipeline plus careful handling of the front-end's
 whole-clip statistics.
 
-Fidelity to the offline (full-clip) forward, chunk by chunk:
+Fidelity to the offline (full-clip) forward, chunk by chunk (measured at
+production geometry in tools/stream_fidelity.py; results in docs/DESIGN.md):
 
 - **model context**: each chunk's forward sees ``context_frames`` of real
   left context (recomputed from h=0 each step — the same warmup principle
   as the sequence-parallel path, parallel/halo.py; GRU state error decays
-  exponentially in context length, docs/DESIGN.md "SP seam error") and
-  ``lookahead_frames`` of real right context for the backward GRU
-  directions. Chunk 0's forward direction starts at h=0 == the exact
-  global start, so its left edge is exact.
+  exponentially in context length) and ``lookahead_frames`` of real right
+  context for the backward GRU directions. Chunk 0's forward direction
+  starts at h=0 == the exact global start, and the final flush window ends
+  exactly at the last real frame, where the backward direction's h=0 is
+  the exact global end (a zero-padded lookahead there would corrupt the
+  tail the same way zero conv halos corrupted SP edges in round 2).
 - **whole-clip feature statistics are carried, not re-estimated**: the
   reference normalizes amplitude by the clip-wide mean |y|
   (audio_lib.py:125-126) — streaming freezes the gain after the first
@@ -27,13 +30,16 @@ Fidelity to the offline (full-clip) forward, chunk by chunk:
   basis row of the orthonormal DCT), and the reference removes exactly
   that offset by subtracting frame 0's raw c0 (audio_lib.py:220-221) —
   streaming carries that scalar from chunk 0 and subtracts it in every
-  chunk, so the encoder input matches the offline one up to dB-floor
-  effects on near-silent bins. amplitude_to_db's ``top_db`` clip is
-  relative to the GLOBAL mel max (ops/db.py) — streaming carries a
-  running max (monotone approximation of the clip-wide max).
+  chunk. The residual gain sensitivity enters only through the dB floor
+  (``amin``) on near-silent mel bins; pass ``input_gain`` to remove it
+  entirely when the capture level is calibrated. amplitude_to_db's
+  ``top_db`` clip is relative to the GLOBAL mel max (ops/db.py) —
+  streaming carries a running max.
 - **STFT chunk edges see real neighbor audio**: the offline reflect pad
-  only ever applies at the true clip edges, where streaming reproduces it;
-  ``edge_frames`` boundary frames per side are computed and discarded.
+  only applies at the true clip edges, where streaming reproduces it (the
+  flush window is framed center=False over an offline-identical
+  reflect-padded tail); ``edge_frames`` boundary frames per side are
+  computed and discarded in steady chunks.
 - **vocoder continuity**: Griffin-Lim runs per chunk over
   ``[chunk - margin, chunk + margin]`` frames, seeded with the previous
   chunk's final STFT phase over the leading margin (phase-coherent
@@ -44,9 +50,9 @@ Fidelity to the offline (full-clip) forward, chunk by chunk:
   ramp instead of per-chunk AGC (which would pump).
 
 Compiled-program economics: one (features+model) program and one vocoder
-program per window shape. Steady state and the final flush share one
-shape; ramp-up steps (while ``f0 < context_frames``) and a short-clip
-flush each compile their own, all cached in the pipeline's bounded LRU.
+program per window shape. Steady state is one shape; ramp-up steps (while
+``f0 < context_frames``) and the fixed-size flush window each compile
+their own, all cached in the pipeline's bounded LRU.
 """
 
 from __future__ import annotations
@@ -76,7 +82,9 @@ class StreamingCloner:
     Emits float32 waveform at the pipeline's output level convention
     (`pipeline.mean_abs_amp_norm`). Total emitted length is exactly
     ``(n_samples // hop + 1) * hop`` — one hop per STFT frame of the
-    pushed audio, like the offline frame grid.
+    pushed audio, like the offline frame grid (the final hop has no
+    synthesizable frame beyond the last one and is emitted as the inverse
+    pre-emphasis decay tail).
     """
 
     def __init__(
@@ -157,20 +165,24 @@ class StreamingCloner:
             self._n_samples += samples.size
         out = []
         while (self._f0 + self.min_input_frames) * self.hop <= self._n_samples:
-            out.append(self._step(final=False))
+            out.append(self._step())
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
     def flush(self) -> np.ndarray:
-        """Drain remaining audio (zero-padded like the offline path's window
-        pad, test.py:92-105) and finish the stream."""
+        """Convert the remaining tail exactly and finish the stream.
+
+        Unlike the steady chunks (which always have real lookahead), the
+        flush window ends at the last real frame: the backward GRUs enter
+        it at h=0 — precisely the offline forward's global end — and the
+        STFT tail is reflect-padded the way the offline front-end pads it.
+        """
         if self._done:
             return np.zeros(0, np.float32)
         self._done = True
         total = self._n_samples // self.hop + 1 if self._n_samples else 0
-        out = []
-        while self._f0 < total:
-            out.append(self._step(final=True, total=total))
-        return np.concatenate(out) if out else np.zeros(0, np.float32)
+        if self._f0 >= total:
+            return np.zeros(0, np.float32)
+        return self._flush_step(total)
 
     def convert_all(self, wav, block: int = 16000) -> np.ndarray:
         """Convenience: stream a complete waveform through push/flush."""
@@ -181,28 +193,22 @@ class StreamingCloner:
 
     # -------------------------------------------------------------- steps ---
 
-    def _step(self, final: bool, total: int | None = None) -> np.ndarray:
+    def _step(self) -> np.ndarray:
+        """One steady chunk: emit frames [f0, f0+C) from a real-context
+        window [f0-Lc-EB, f0+C+Rc+EB) (clamped at the global start)."""
         import jax.numpy as jnp
 
         hop, C, M = self.hop, self.C, self.M
         f0 = self._f0
         f1 = f0 + C
-        emit_end = min(f1, total) if final else f1
         a = max(0, f0 - self.Lc - self.EB)       # window start frame
         e = f1 + self.Rc + self.EB               # window end frame
         v0 = max(0, f0 - M)                      # vocode region start frame
         v1 = f1 + M
 
-        # --- audio slice [a*hop, e*hop), zero-padded past the pushed end ---
-        need = e * hop
-        lo = a * hop - self._buf_start
-        avail = self._buf[lo:]
-        n_real = max(0, min(self._n_samples, need) - a * hop)
-        y_slice = np.zeros(need - a * hop, np.float32)
-        y_slice[:n_real] = avail[:n_real]
-
+        y_slice = self._buf[a * hop - self._buf_start : e * hop - self._buf_start]
         if self._gain is None:
-            m = float(np.mean(np.abs(y_slice[:n_real]))) if n_real else 0.0
+            m = float(np.mean(np.abs(y_slice)))
             self._gain = self.feat.mean_abs_amp_norm / max(m, float(_TINY))
 
         first = f0 == 0
@@ -219,32 +225,112 @@ class StreamingCloner:
                                   np.float32(self._c0), np.float32(self._mel_max))
         self._mel_max = float(mel_max)
         if self.collect_debug:
-            sv = np.asarray(stft_v)
-            self.debug_stft.append(sv[f0 - v0 : emit_end - v0])
+            self.debug_stft.append(np.asarray(stft_v)[f0 - v0 : f1 - v0])
 
-        # --- vocode [v0, v1) with carried-phase init + crossfade ------------
+        # vocode [v0, v1) with carried-phase init
         W_v = v1 - v0
         phase = np.pi * self._rng.random((W_v, self.feat.n_stft)).astype(np.float32)
         if self._phase_tail is not None:
             phase[:M] = self._phase_tail
-        gl = self.p._jitted("stream_gl", (W_v, f1 - v0),
+        gl = self.p._jitted("stream_gl", (W_v, f1 - v0, True),
                             lambda: self._build_gl(W_v, f1 - v0))
         wav_pre, phase_tail = gl(stft_v, jnp.asarray(phase))
         wav_pre = np.array(wav_pre)              # [(W_v-1)*hop], preemph domain
         self._phase_tail = np.asarray(phase_tail)
 
-        s_lo = (f0 - v0) * hop
-        s_hi = (emit_end - v0) * hop
+        t_lo = (f1 - v0) * hop
+        emit = self._emit(wav_pre, (f0 - v0) * hop, C * hop,
+                          wav_pre[t_lo : t_lo + (M - 1) * hop].copy())
+
+        # advance; drop audio no future window (incl. the flush window's
+        # reflect-padded tail framing) can reach
+        self._f0 = f1
+        keep_from = max(0, (self._f0 - (self.Lc + self.C + self.Rc + 2 * self.EB))
+                        * hop - self.feat.n_fft_)
+        if keep_from > self._buf_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        return emit
+
+    def _flush_step(self, total: int) -> np.ndarray:
+        """The exact end window: frames [total - W_end, total), framed
+        center=False over offline-identical reflect padding, emitting the
+        remaining R = total - f0 frames (R <= C + Rc + EB by construction:
+        push() drains eagerly)."""
+        import jax.numpy as jnp
+
+        hop, M = self.hop, self.M
+        feat = self.feat
+        f0 = self._f0
+        W_end = min(total, self.Lc + self.C + self.Rc + 2 * self.EB)
+        a = total - W_end
+        half = feat.n_fft_ // 2
+        L = self._n_samples
+
+        # offline-identical padded sample stream for frames [a, total):
+        # padded[i] corresponds to global sample i with single reflection
+        # at both true clip edges (np.pad mode='reflect' semantics)
+        idx = np.arange(a * hop - half, (total - 1) * hop - half + feat.n_fft_)
+        idx = np.abs(idx)
+        idx = np.where(idx > L - 1, np.maximum(2 * (L - 1) - idx, 0), idx)
+        y_ext = self._buf[idx - self._buf_start]
+
+        if self._gain is None:
+            m = float(np.mean(np.abs(self._buf[max(0, -self._buf_start):])))
+            self._gain = feat.mean_abs_amp_norm / max(m, float(_TINY))
+
+        first = f0 == 0
+        fwd = self.p._jitted("stream_fwd_end", (y_ext.size, W_end, first),
+                             lambda: self._build_fwd(y_ext.size, 0, W_end, first,
+                                                     centered=False))
+        if first:
+            stft_full, mel_max, c0 = fwd(jnp.asarray(y_ext),
+                                         np.float32(self._gain),
+                                         np.float32(self._mel_max))
+            self._c0 = float(c0)
+        else:
+            stft_full, mel_max = fwd(jnp.asarray(y_ext), np.float32(self._gain),
+                                     np.float32(self._c0),
+                                     np.float32(self._mel_max))
+        self._mel_max = float(mel_max)
+        stft_full = np.asarray(stft_full)
+        if self.collect_debug:
+            self.debug_stft.append(stft_full[f0 - a : total - a])
+
+        # fixed-size end vocode region [total - W_v, total)
+        W_v = min(self.C + self.Rc + self.EB + M, total)
+        v0 = total - W_v
+        stft_v = stft_full[v0 - a : total - a]
+        phase = np.pi * self._rng.random((W_v, feat.n_stft)).astype(np.float32)
+        if self._phase_tail is not None and f0 - M >= v0:
+            phase[f0 - M - v0 : f0 - v0] = self._phase_tail
+        gl = self.p._jitted("stream_gl_end", (W_v, M, False),
+                            lambda: self._build_gl(W_v, M, tail=False))
+        wav_pre = np.array(gl(jnp.asarray(stft_v), jnp.asarray(phase)))
+
+        emit = self._emit(wav_pre, (f0 - v0) * hop, (total - f0) * hop, None)
+        self._f0 = total
+        return emit
+
+    def _emit(self, wav_pre, s_lo: int, n_emit: int, tail):
+        """Shared host tail of a step: crossfade the leading margin with the
+        previous chunk, cut the emit region (zero-extending past the last
+        synthesizable sample), carry the inverse-pre-emphasis IIR state, and
+        apply the EMA output gain with a per-chunk linear ramp."""
         if self._tail is not None:
             ov = self._tail.size                 # (M-1)*hop
-            # raised-cosine fade from the previous chunk into this one
+            # raised-cosine fade from the previous chunk into this one (a
+            # flush with fewer remaining samples than the margin fades over
+            # what exists)
             w = 0.5 * (1.0 + np.cos(np.pi * np.arange(ov) / ov)).astype(np.float32)
-            wav_pre[s_lo:s_lo + ov] = (w * self._tail
-                                       + (1.0 - w) * wav_pre[s_lo:s_lo + ov])
-        t_lo = (f1 - v0) * hop
-        self._tail = wav_pre[t_lo : t_lo + (M - 1) * hop].copy()
+            n = min(ov, wav_pre.size - s_lo)
+            wav_pre[s_lo:s_lo + n] = (w[:n] * self._tail[:n]
+                                      + (1.0 - w[:n]) * wav_pre[s_lo:s_lo + n])
+        self._tail = tail
+        emit = np.zeros(n_emit, np.float32)
+        seg = wav_pre[s_lo:s_lo + n_emit]
+        emit[:seg.size] = seg
 
-        emit = wav_pre[s_lo:s_hi].copy()
         # exact streaming inverse pre-emphasis: the IIR y[n] = x[n] + c*y[n-1]
         # continues across chunks by folding c*y_prev into the first sample
         c = self.feat.pre_emphasis
@@ -263,23 +349,19 @@ class StreamingCloner:
             g_prev = g_new if self._out_gain_prev is None else self._out_gain_prev
             emit *= np.linspace(g_prev, g_new, emit.size, dtype=np.float32)
             self._out_gain_prev = g_new
-
-        # advance; drop audio the next window can no longer reach
-        self._f0 = emit_end
-        keep_from = max(0, self._f0 - self.Lc - self.EB) * hop
-        if keep_from > self._buf_start:
-            self._buf = self._buf[keep_from - self._buf_start:]
-            self._buf_start = keep_from
         return emit
 
     # ----------------------------------------------------- device builders ---
 
-    def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, first: bool):
+    def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, first: bool,
+                   centered: bool = True):
         """(features + encoder + decoder) for one window -> stft_pred slice.
 
         Mirrors ops/features.mfcc_input (audio_lib.py:89-244) with the three
         whole-clip statistics replaced by carried values: fixed gain, carried
-        raw-c0 offset, carried running mel max for the top_db clip.
+        raw-c0 offset, carried running mel max for the top_db clip. The flush
+        window passes ``centered=False``: its input is already the
+        offline-identical reflect-padded sample stream.
         """
         import jax
         import jax.numpy as jnp
@@ -287,13 +369,15 @@ class StreamingCloner:
         feat = self.feat
         mel_w = jnp.asarray(self._mel_w)
         dct = jnp.asarray(self._dct)
+        n_frames = (n_samples // feat.hop_length if centered else
+                    (n_samples - feat.n_fft_) // feat.hop_length + 1)
 
         def features(y, gain, c0_in, mel_max_in):
             y = y * gain
             y = preemphasis(y, feat.pre_emphasis, xp=jnp)
             F = jnp.abs(stft(y, n_fft=feat.n_fft_, hop_length=feat.hop_length,
                              win_length=feat.win_length, window=feat.window,
-                             center=True, xp=jnp))
+                             center=centered, xp=jnp))
             P = F * F
             M_spec = P @ mel_w.T
             # amplitude_to_db (ops/db.py) with the global max carried across
@@ -315,8 +399,6 @@ class StreamingCloner:
                 MFCC = jnp.clip(MFCC, -1.0, 1.0)
             return MFCC, mel_max, c0
 
-        n_frames = n_samples // feat.hop_length  # drop the one extra frame
-
         if first:
             def fn(y, gain, mel_max_in):
                 mfcc, mel_max, c0 = features(y, gain, 0.0, mel_max_in)
@@ -329,11 +411,12 @@ class StreamingCloner:
                 return stft_pred[0, v_lo:v_hi], mel_max
         return jax.jit(fn)
 
-    def _build_gl(self, n_frames: int, tail_lo: int):
+    def _build_gl(self, n_frames: int, tail_lo: int, tail: bool = True):
         """Griffin-Lim over one vocode region, seeded phase, returning the
-        pre-emphasized-domain waveform plus the trailing-margin phase for the
-        next chunk. Denorm matches from_power_to_wav (audio_lib.py:278-308)
-        minus the inverse pre-emphasis + amp norm, which stream host-side."""
+        pre-emphasized-domain waveform (plus the trailing-margin phase for
+        the next chunk unless ``tail=False`` — the flush has no successor).
+        Denorm matches from_power_to_wav (audio_lib.py:278-308) minus the
+        inverse pre-emphasis + amp norm, which stream host-side."""
         import jax
         import jax.numpy as jnp
 
@@ -353,5 +436,7 @@ class StreamingCloner:
                                  num_iters=p.n_iter, n_fft=feat.n_fft_,
                                  window=feat.window, init_phase=phase0,
                                  momentum=p.gl_momentum, return_stft=True)
+            if not tail:
+                return wav
             return wav, jnp.angle(S[tail_lo - self.M : tail_lo])
         return jax.jit(fn)

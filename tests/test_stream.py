@@ -59,7 +59,6 @@ def test_streaming_matches_exact_forward():
 
     # exact forward: offline features (whole-clip statistics) + one pass
     mfcc, _, _ = mfcc_input(jnp.asarray(wav), p.feat_cfg, xp=jnp)
-    pad = (-mfcc.shape[0]) % 1  # no pad needed; full-T forward is length-free
     _, stft_ref, _ = p.forward_windows(mfcc[None])
     stft_ref = np.asarray(stft_ref[0])
 
@@ -144,3 +143,26 @@ def test_griffin_lim_return_stft():
                           key=jax.random.PRNGKey(1), return_stft=True)
     np.testing.assert_array_equal(np.asarray(wav0), np.asarray(wav1))
     assert S.shape == amp.shape and jnp.iscomplexobj(S)
+
+
+def test_streaming_tail_matches_exact_forward():
+    """The flush window ends at the true last frame (backward-GRU h=0 ==
+    the offline global end) over offline-identical reflect padding, so the
+    tail error is the same class as the interior — not a zero-padded-
+    lookahead artifact (the streaming analog of the round-2 zero-halo bug)."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(2.5, seed=9)
+    gain = p.feat_cfg.mean_abs_amp_norm / float(np.mean(np.abs(wav)))
+    s = StreamingCloner(p, chunk_frames=64, context_frames=96,
+                        lookahead_frames=64, margin_frames=8,
+                        input_gain=gain, collect_debug=True)
+    s.convert_all(wav)
+    streamed = np.concatenate(s.debug_stft)
+    mfcc, _, _ = mfcc_input(jnp.asarray(wav), p.feat_cfg, xp=jnp)
+    _, ref, _ = p.forward_windows(mfcc[None])
+    ref = np.asarray(ref[0])
+    assert streamed.shape[0] == wav.size // 80 + 1 == ref.shape[0]
+    err = np.abs(streamed - ref[:streamed.shape[0]])
+    interior, tail = err[:-32], err[-32:]
+    assert tail.max() < max(3 * interior.max(), 1e-3), (
+        tail.max(), interior.max())
