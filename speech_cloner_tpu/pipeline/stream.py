@@ -10,6 +10,15 @@ This capability has no reference counterpart; it falls out of the
 device-resident pipeline plus careful handling of the front-end's
 whole-clip statistics.
 
+Multi-stream serving: ``batch=B`` converts B independent live streams in
+lockstep through ONE device program per step (2-D ``[B, n]`` push/flush
+API). On the TPU the per-chunk cost is dominated by Griffin-Lim's fixed
+per-loop-iteration dispatch cost (docs/DESIGN.md), which is paid once per
+STEP, not per stream — so per-chip concurrent-stream capacity scales far
+better than running B single-stream sessions. Every carried statistic
+(gain, c0, mel max, phase, IIR state, output gain) is per-stream; a
+batched run is numerically the per-stream runs (test_stream.py).
+
 Fidelity to the offline (full-clip) forward, chunk by chunk (measured at
 production geometry in tools/stream_fidelity.py; results in docs/DESIGN.md):
 
@@ -62,7 +71,7 @@ import numpy as np
 from ..ops.db import db_to_power
 from ..ops.features import feature_matrices
 from ..ops.griffin_lim import griffin_lim
-from ..ops.preemphasis import inv_preemphasis_np, preemphasis
+from ..ops.preemphasis import preemphasis
 from ..ops.stft import stft
 from .clone import ClonePipeline
 
@@ -78,6 +87,10 @@ class StreamingCloner:
         for block in microphone():          # arbitrary block sizes
             out.append(s.push(block))       # 0+ samples per call
         out.append(s.flush())               # drain the tail
+
+    With ``batch=B``, push/flush take and return ``[B, n]`` arrays and the
+    B streams are converted in lockstep (equal lengths; a serving frontend
+    pads idle streams with silence).
 
     Emits float32 waveform at the pipeline's output level convention
     (`pipeline.mean_abs_amp_norm`). Total emitted length is exactly
@@ -97,7 +110,8 @@ class StreamingCloner:
         margin_frames: int = 16,
         edge_frames: int = 4,
         seed: int = 0,
-        input_gain: float | None = None,
+        batch: int | None = None,
+        input_gain=None,
         out_gain_ema: float = 0.9,
         collect_debug: bool = False,
     ):
@@ -107,6 +121,8 @@ class StreamingCloner:
             raise ValueError("margin_frames must be >= 2 (crossfade needs >= 1 hop)")
         if margin_frames > lookahead_frames + edge_frames:
             raise ValueError("margin_frames must be <= lookahead_frames + edge_frames")
+        if batch is not None and batch < 1:
+            raise ValueError("batch must be >= 1")
         feat = pipeline.feat_cfg
         # edge_frames must cover the STFT reflect-pad contamination depth
         min_edge = -(-feat.n_fft_ // (2 * feat.hop_length))  # ceil(n_fft/2 / hop)
@@ -124,20 +140,28 @@ class StreamingCloner:
         self.out_gain_ema = out_gain_ema
         self.collect_debug = collect_debug
         self.debug_stft: list[np.ndarray] = []
+        self._vec = batch is not None
+        B = self.B = batch or 1
 
-        self._rng = np.random.default_rng(seed)
-        self._buf = np.zeros(0, np.float32)
-        self._buf_start = 0        # global sample index of _buf[0]
-        self._n_samples = 0        # total samples pushed
+        # per-stream RNG: stream i draws from seed+i, so a batched run is
+        # draw-for-draw the B single-stream runs with seeds seed..seed+B-1
+        self._rng = [np.random.default_rng(seed + i) for i in range(B)]
+        self._buf = np.zeros((B, 0), np.float32)
+        self._buf_start = 0        # global sample index of _buf[:, 0]
+        self._n_samples = 0        # total samples pushed per stream
         self._f0 = 0               # next frame index to emit
-        self._gain = input_gain    # input amp-norm gain; frozen at first step
-        self._c0 = 0.0             # carried raw first-MFCC offset (chunk 0 frame 0)
-        self._mel_max = -np.inf    # carried global max for the top_db clip
-        self._tail: np.ndarray | None = None        # preemph-domain overlap
-        self._phase_tail: np.ndarray | None = None  # [M, n_stft] carried phase
-        self._inv_state = 0.0      # inverse-preemphasis IIR state (last output)
-        self._out_ema: float | None = None
-        self._out_gain_prev: float | None = None
+        if input_gain is None:
+            self._gain = None      # frozen per-stream at the first step
+        else:
+            self._gain = np.broadcast_to(
+                np.asarray(input_gain, np.float32), (B,)).copy()
+        self._c0 = np.zeros(B, np.float32)       # carried raw first-MFCC offset
+        self._mel_max = np.full(B, -np.inf, np.float32)  # top_db running max
+        self._tail: np.ndarray | None = None     # [B, (M-1)*hop] preemph overlap
+        self._phase_tail: np.ndarray | None = None  # [B, M, n_stft]
+        self._inv_state = np.zeros(B, np.float32)   # inverse-preemphasis IIR
+        self._out_ema: np.ndarray | None = None
+        self._out_gain_prev: np.ndarray | None = None
         self._done = False
         mel_w, dct = feature_matrices(feat)
         self._mel_w = mel_w
@@ -155,18 +179,31 @@ class StreamingCloner:
     def latency_seconds(self) -> float:
         return self.min_input_frames * self.hop / self.feat.sample_rate
 
+    def _in(self, samples) -> np.ndarray:
+        samples = np.asarray(samples, np.float32)
+        if self._vec:
+            if samples.ndim != 2 or samples.shape[0] != self.B:
+                raise ValueError(f"batch={self.B} streams expect [B, n] audio")
+            return samples
+        return samples.reshape(1, -1)
+
+    def _out(self, parts) -> np.ndarray:
+        out = (np.concatenate(parts, axis=1) if parts
+               else np.zeros((self.B, 0), np.float32))
+        return out if self._vec else out[0]
+
     def push(self, samples) -> np.ndarray:
         """Feed arbitrary-length audio; returns newly available output."""
         if self._done:
             raise RuntimeError("push() after flush()")
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        if samples.size:
-            self._buf = np.concatenate([self._buf, samples])
-            self._n_samples += samples.size
+        samples = self._in(samples)
+        if samples.shape[1]:
+            self._buf = np.concatenate([self._buf, samples], axis=1)
+            self._n_samples += samples.shape[1]
         out = []
         while (self._f0 + self.min_input_frames) * self.hop <= self._n_samples:
             out.append(self._step())
-        return np.concatenate(out) if out else np.zeros(0, np.float32)
+        return self._out(out)
 
     def flush(self) -> np.ndarray:
         """Convert the remaining tail exactly and finish the stream.
@@ -177,19 +214,24 @@ class StreamingCloner:
         STFT tail is reflect-padded the way the offline front-end pads it.
         """
         if self._done:
-            return np.zeros(0, np.float32)
+            return self._out([])
         self._done = True
         total = self._n_samples // self.hop + 1 if self._n_samples else 0
         if self._f0 >= total:
-            return np.zeros(0, np.float32)
-        return self._flush_step(total)
+            return self._out([])
+        return self._out([self._flush_step(total)])
 
     def convert_all(self, wav, block: int = 16000) -> np.ndarray:
-        """Convenience: stream a complete waveform through push/flush."""
-        wav = np.asarray(wav, np.float32).reshape(-1)
-        parts = [self.push(wav[i:i + block]) for i in range(0, wav.size, block)]
+        """Convenience: stream complete waveform(s) through push/flush."""
+        wav = self._in(wav)
+        parts = [self.push(self._raw(wav[:, i:i + block]))
+                 for i in range(0, wav.shape[1], block)]
         parts.append(self.flush())
-        return np.concatenate(parts)
+        return (np.concatenate([self._in(p) for p in parts], axis=1)
+                if self._vec else np.concatenate(parts))
+
+    def _raw(self, x):
+        return x if self._vec else x[0]
 
     # -------------------------------------------------------------- steps ---
 
@@ -206,41 +248,44 @@ class StreamingCloner:
         v0 = max(0, f0 - M)                      # vocode region start frame
         v1 = f1 + M
 
-        y_slice = self._buf[a * hop - self._buf_start : e * hop - self._buf_start]
+        y = self._buf[:, a * hop - self._buf_start : e * hop - self._buf_start]
         if self._gain is None:
-            m = float(np.mean(np.abs(y_slice)))
-            self._gain = self.feat.mean_abs_amp_norm / max(m, float(_TINY))
+            m = np.maximum(np.mean(np.abs(y), axis=1), _TINY)
+            self._gain = (self.feat.mean_abs_amp_norm / m).astype(np.float32)
 
         first = f0 == 0
         fwd = self.p._jitted(
-            "stream_fwd", (y_slice.size, v0 - a, v1 - a, first),
-            lambda: self._build_fwd(y_slice.size, v0 - a, v1 - a, first))
+            "stream_fwd", (y.shape, v0 - a, v1 - a, first),
+            lambda: self._build_fwd(y.shape[1], v0 - a, v1 - a, first))
         if first:
-            stft_v, mel_max, c0 = fwd(jnp.asarray(y_slice),
-                                      np.float32(self._gain),
-                                      np.float32(self._mel_max))
-            self._c0 = float(c0)
+            stft_v, mel_max, c0 = fwd(jnp.asarray(y), jnp.asarray(self._gain),
+                                      jnp.asarray(self._mel_max))
+            self._c0 = np.asarray(c0)
         else:
-            stft_v, mel_max = fwd(jnp.asarray(y_slice), np.float32(self._gain),
-                                  np.float32(self._c0), np.float32(self._mel_max))
-        self._mel_max = float(mel_max)
+            stft_v, mel_max = fwd(jnp.asarray(y), jnp.asarray(self._gain),
+                                  jnp.asarray(self._c0),
+                                  jnp.asarray(self._mel_max))
+        self._mel_max = np.asarray(mel_max)
         if self.collect_debug:
-            self.debug_stft.append(np.asarray(stft_v)[f0 - v0 : f1 - v0])
+            sv = np.asarray(stft_v)[:, f0 - v0 : f1 - v0]
+            self.debug_stft.append(sv if self._vec else sv[0])
 
         # vocode [v0, v1) with carried-phase init
         W_v = v1 - v0
-        phase = np.pi * self._rng.random((W_v, self.feat.n_stft)).astype(np.float32)
+        phase = np.pi * np.stack(
+            [g.random((W_v, self.feat.n_stft)) for g in self._rng]
+        ).astype(np.float32)
         if self._phase_tail is not None:
-            phase[:M] = self._phase_tail
-        gl = self.p._jitted("stream_gl", (W_v, f1 - v0, True),
-                            lambda: self._build_gl(W_v, f1 - v0))
+            phase[:, :M] = self._phase_tail
+        gl = self.p._jitted("stream_gl", (self.B, W_v, f1 - v0, True),
+                            lambda: self._build_gl(f1 - v0))
         wav_pre, phase_tail = gl(stft_v, jnp.asarray(phase))
-        wav_pre = np.array(wav_pre)              # [(W_v-1)*hop], preemph domain
+        wav_pre = np.array(wav_pre)          # [B, (W_v-1)*hop], preemph domain
         self._phase_tail = np.asarray(phase_tail)
 
         t_lo = (f1 - v0) * hop
         emit = self._emit(wav_pre, (f0 - v0) * hop, C * hop,
-                          wav_pre[t_lo : t_lo + (M - 1) * hop].copy())
+                          wav_pre[:, t_lo : t_lo + (M - 1) * hop].copy())
 
         # advance; drop audio no future window (incl. the flush window's
         # reflect-padded tail framing) can reach
@@ -248,7 +293,7 @@ class StreamingCloner:
         keep_from = max(0, (self._f0 - (self.Lc + self.C + self.Rc + 2 * self.EB))
                         * hop - self.feat.n_fft_)
         if keep_from > self._buf_start:
-            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf = self._buf[:, keep_from - self._buf_start:]
             self._buf_start = keep_from
         return emit
 
@@ -273,39 +318,41 @@ class StreamingCloner:
         idx = np.arange(a * hop - half, (total - 1) * hop - half + feat.n_fft_)
         idx = np.abs(idx)
         idx = np.where(idx > L - 1, np.maximum(2 * (L - 1) - idx, 0), idx)
-        y_ext = self._buf[idx - self._buf_start]
+        y_ext = self._buf[:, idx - self._buf_start]
 
         if self._gain is None:
-            m = float(np.mean(np.abs(self._buf[max(0, -self._buf_start):])))
-            self._gain = feat.mean_abs_amp_norm / max(m, float(_TINY))
+            m = np.maximum(np.mean(np.abs(self._buf), axis=1), _TINY)
+            self._gain = (feat.mean_abs_amp_norm / m).astype(np.float32)
 
         first = f0 == 0
-        fwd = self.p._jitted("stream_fwd_end", (y_ext.size, W_end, first),
-                             lambda: self._build_fwd(y_ext.size, 0, W_end, first,
-                                                     centered=False))
+        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, first),
+                             lambda: self._build_fwd(y_ext.shape[1], 0, W_end,
+                                                     first, centered=False))
         if first:
             stft_full, mel_max, c0 = fwd(jnp.asarray(y_ext),
-                                         np.float32(self._gain),
-                                         np.float32(self._mel_max))
-            self._c0 = float(c0)
+                                         jnp.asarray(self._gain),
+                                         jnp.asarray(self._mel_max))
+            self._c0 = np.asarray(c0)
         else:
-            stft_full, mel_max = fwd(jnp.asarray(y_ext), np.float32(self._gain),
-                                     np.float32(self._c0),
-                                     np.float32(self._mel_max))
-        self._mel_max = float(mel_max)
+            stft_full, mel_max = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
+                                     jnp.asarray(self._c0),
+                                     jnp.asarray(self._mel_max))
+        self._mel_max = np.asarray(mel_max)
         stft_full = np.asarray(stft_full)
         if self.collect_debug:
-            self.debug_stft.append(stft_full[f0 - a : total - a])
+            sv = stft_full[:, f0 - a : total - a]
+            self.debug_stft.append(sv if self._vec else sv[0])
 
         # fixed-size end vocode region [total - W_v, total)
         W_v = min(self.C + self.Rc + self.EB + M, total)
         v0 = total - W_v
-        stft_v = stft_full[v0 - a : total - a]
-        phase = np.pi * self._rng.random((W_v, feat.n_stft)).astype(np.float32)
+        stft_v = stft_full[:, v0 - a : total - a]
+        phase = np.pi * np.stack(
+            [g.random((W_v, feat.n_stft)) for g in self._rng]).astype(np.float32)
         if self._phase_tail is not None and f0 - M >= v0:
-            phase[f0 - M - v0 : f0 - v0] = self._phase_tail
-        gl = self.p._jitted("stream_gl_end", (W_v, M, False),
-                            lambda: self._build_gl(W_v, M, tail=False))
+            phase[:, f0 - M - v0 : f0 - v0] = self._phase_tail
+        gl = self.p._jitted("stream_gl_end", (self.B, W_v, M, False),
+                            lambda: self._build_gl(M, tail=False))
         wav_pre = np.array(gl(jnp.asarray(stft_v), jnp.asarray(phase)))
 
         emit = self._emit(wav_pre, (f0 - v0) * hop, (total - f0) * hop, None)
@@ -316,38 +363,44 @@ class StreamingCloner:
         """Shared host tail of a step: crossfade the leading margin with the
         previous chunk, cut the emit region (zero-extending past the last
         synthesizable sample), carry the inverse-pre-emphasis IIR state, and
-        apply the EMA output gain with a per-chunk linear ramp."""
+        apply the EMA output gain with a per-chunk linear ramp. All state is
+        per-stream ([B, ...])."""
         if self._tail is not None:
-            ov = self._tail.size                 # (M-1)*hop
+            ov = self._tail.shape[1]             # (M-1)*hop
             # raised-cosine fade from the previous chunk into this one (a
             # flush with fewer remaining samples than the margin fades over
             # what exists)
             w = 0.5 * (1.0 + np.cos(np.pi * np.arange(ov) / ov)).astype(np.float32)
-            n = min(ov, wav_pre.size - s_lo)
-            wav_pre[s_lo:s_lo + n] = (w[:n] * self._tail[:n]
-                                      + (1.0 - w[:n]) * wav_pre[s_lo:s_lo + n])
+            n = min(ov, wav_pre.shape[1] - s_lo)
+            wav_pre[:, s_lo:s_lo + n] = (
+                w[None, :n] * self._tail[:, :n]
+                + (1.0 - w[None, :n]) * wav_pre[:, s_lo:s_lo + n])
         self._tail = tail
-        emit = np.zeros(n_emit, np.float32)
-        seg = wav_pre[s_lo:s_lo + n_emit]
-        emit[:seg.size] = seg
+        emit = np.zeros((self.B, n_emit), np.float32)
+        seg = wav_pre[:, s_lo:s_lo + n_emit]
+        emit[:, :seg.shape[1]] = seg
 
         # exact streaming inverse pre-emphasis: the IIR y[n] = x[n] + c*y[n-1]
         # continues across chunks by folding c*y_prev into the first sample
         c = self.feat.pre_emphasis
-        if c != 0.0 and emit.size:
-            emit[0] += c * self._inv_state
-            emit = inv_preemphasis_np(emit, c)
-            self._inv_state = float(emit[-1])
+        if c != 0.0 and n_emit:
+            from scipy import signal
+
+            emit[:, 0] += c * self._inv_state
+            emit = signal.lfilter([1.0], [1.0, -c], emit, axis=1).astype(np.float32)
+            self._inv_state = emit[:, -1].copy()
 
         # EMA output gain with a per-chunk linear ramp (no per-chunk AGC)
-        if emit.size:
-            m_abs = float(np.mean(np.abs(emit)))
+        if n_emit:
+            m_abs = np.mean(np.abs(emit), axis=1)
             self._out_ema = (m_abs if self._out_ema is None else
                              self.out_gain_ema * self._out_ema
                              + (1.0 - self.out_gain_ema) * m_abs)
-            g_new = self.p.mean_abs_amp_norm / max(self._out_ema, float(_TINY))
+            g_new = (self.p.mean_abs_amp_norm
+                     / np.maximum(self._out_ema, _TINY)).astype(np.float32)
             g_prev = g_new if self._out_gain_prev is None else self._out_gain_prev
-            emit *= np.linspace(g_prev, g_new, emit.size, dtype=np.float32)
+            t = np.linspace(0.0, 1.0, n_emit, dtype=np.float32)
+            emit *= g_prev[:, None] + (g_new - g_prev)[:, None] * t[None, :]
             self._out_gain_prev = g_new
         return emit
 
@@ -355,13 +408,16 @@ class StreamingCloner:
 
     def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, first: bool,
                    centered: bool = True):
-        """(features + encoder + decoder) for one window -> stft_pred slice.
+        """(features + encoder + decoder) for one window of B streams ->
+        stft_pred slice [B, v_hi-v_lo, n_stft].
 
         Mirrors ops/features.mfcc_input (audio_lib.py:89-244) with the three
-        whole-clip statistics replaced by carried values: fixed gain, carried
-        raw-c0 offset, carried running mel max for the top_db clip. The flush
-        window passes ``centered=False``: its input is already the
-        offline-identical reflect-padded sample stream.
+        whole-clip statistics replaced by carried per-stream values: fixed
+        gain, carried raw-c0 offset, carried running mel max for the top_db
+        clip. Features are vmapped per stream; the model forward runs
+        natively batched over the stream axis — one device program for all
+        B streams. The flush window passes ``centered=False``: its input is
+        already the offline-identical reflect-padded sample stream.
         """
         import jax
         import jax.numpy as jnp
@@ -397,33 +453,37 @@ class StreamingCloner:
                 MFCC = jnp.concatenate([MFCC, d], 1)
             if feat.clip_output:
                 MFCC = jnp.clip(MFCC, -1.0, 1.0)
-            return MFCC, mel_max, c0
+            return MFCC[:n_frames], mel_max, c0
 
         if first:
             def fn(y, gain, mel_max_in):
-                mfcc, mel_max, c0 = features(y, gain, 0.0, mel_max_in)
-                _, stft_pred, _ = self.p.forward_windows(mfcc[:n_frames][None])
-                return stft_pred[0, v_lo:v_hi], mel_max, c0
+                zero = jnp.zeros(y.shape[0], jnp.float32)
+                mfcc, mel_max, c0 = jax.vmap(features)(y, gain, zero, mel_max_in)
+                _, stft_pred, _ = self.p.forward_windows(mfcc)
+                return stft_pred[:, v_lo:v_hi], mel_max, c0
         else:
             def fn(y, gain, c0_in, mel_max_in):
-                mfcc, mel_max, _ = features(y, gain, c0_in, mel_max_in)
-                _, stft_pred, _ = self.p.forward_windows(mfcc[:n_frames][None])
-                return stft_pred[0, v_lo:v_hi], mel_max
+                mfcc, mel_max, _ = jax.vmap(features)(y, gain, c0_in, mel_max_in)
+                _, stft_pred, _ = self.p.forward_windows(mfcc)
+                return stft_pred[:, v_lo:v_hi], mel_max
         return jax.jit(fn)
 
-    def _build_gl(self, n_frames: int, tail_lo: int, tail: bool = True):
-        """Griffin-Lim over one vocode region, seeded phase, returning the
-        pre-emphasized-domain waveform (plus the trailing-margin phase for
-        the next chunk unless ``tail=False`` — the flush has no successor).
-        Denorm matches from_power_to_wav (audio_lib.py:278-308) minus the
-        inverse pre-emphasis + amp norm, which stream host-side."""
+    def _build_gl(self, tail_lo: int, tail: bool = True):
+        """Griffin-Lim over one vocode region of B streams, seeded phase,
+        returning the pre-emphasized-domain waveforms (plus each stream's
+        trailing-margin phase for the next chunk unless ``tail=False`` —
+        the flush has no successor). Denorm matches from_power_to_wav
+        (audio_lib.py:278-308) minus the inverse pre-emphasis + amp norm,
+        which stream host-side. One fori_loop serves all streams: the
+        runtime's fixed per-iteration cost is paid per step, not per
+        stream."""
         import jax
         import jax.numpy as jnp
 
         feat = self.feat
         p = self.p
 
-        def fn(stft_v, phase0):
+        def one(stft_v, phase0):
             P = jnp.maximum(0.0, stft_v)
             if p.realse != 1.0:
                 # per-chunk mean renorm — an approximation of the clip-wide
@@ -439,4 +499,4 @@ class StreamingCloner:
             if not tail:
                 return wav
             return wav, jnp.angle(S[tail_lo - self.M : tail_lo])
-        return jax.jit(fn)
+        return jax.jit(jax.vmap(one))

@@ -166,3 +166,22 @@ def test_streaming_tail_matches_exact_forward():
     interior, tail = err[:-32], err[-32:]
     assert tail.max() < max(3 * interior.max(), 1e-3), (
         tail.max(), interior.max())
+
+
+def test_batched_streams_match_single_streams():
+    """batch=B lockstep serving is numerically the B independent
+    single-stream sessions (every carried statistic is per-stream; stream
+    i draws phase from seed+i in both forms)."""
+    p = _tiny_pipeline()
+    wavs = np.stack([_speechy_wav(2.0, seed=11),
+                     _speechy_wav(2.0, seed=12),
+                     0.5 * _speechy_wav(2.0, seed=13)])
+    kw = dict(chunk_frames=64, context_frames=64, lookahead_frames=48,
+              margin_frames=8)
+    sb = StreamingCloner(p, batch=3, seed=5, **kw)
+    out_b = sb.convert_all(wavs, block=5000)
+    assert out_b.shape == (3, (wavs.shape[1] // 80 + 1) * 80)
+    for i in range(3):
+        si = StreamingCloner(p, seed=5 + i, **kw)
+        out_i = si.convert_all(wavs[i], block=5000)
+        np.testing.assert_allclose(out_b[i], out_i, atol=1e-4, rtol=0)
