@@ -150,18 +150,26 @@ class StreamingCloner:
         self._buf_start = 0        # global sample index of _buf[:, 0]
         self._n_samples = 0        # total samples pushed per stream
         self._f0 = 0               # next frame index to emit
+        # per-stream carried statistics. ``_pending[i]`` marks a stream whose
+        # gain (host-estimated from its first window) and c0 (captured on
+        # device at its first emitted frame) are still to be frozen — true at
+        # construction (unless ``input_gain`` pins the gain) and again after
+        # ``reset_stream(i)`` hands the slot to a new stream.
         if input_gain is None:
-            self._gain = None      # frozen per-stream at the first step
+            self._gain = np.ones(B, np.float32)
         else:
             self._gain = np.broadcast_to(
                 np.asarray(input_gain, np.float32), (B,)).copy()
+        self._ext_gain = input_gain is not None
+        self._pending = np.ones(B, bool)
         self._c0 = np.zeros(B, np.float32)       # carried raw first-MFCC offset
         self._mel_max = np.full(B, -np.inf, np.float32)  # top_db running max
         self._tail: np.ndarray | None = None     # [B, (M-1)*hop] preemph overlap
         self._phase_tail: np.ndarray | None = None  # [B, M, n_stft]
         self._inv_state = np.zeros(B, np.float32)   # inverse-preemphasis IIR
-        self._out_ema: np.ndarray | None = None
-        self._out_gain_prev: np.ndarray | None = None
+        self._out_ema = np.zeros(B, np.float32)
+        self._out_gain_prev = np.zeros(B, np.float32)
+        self._out_pending = np.ones(B, bool)
         self._done = False
         mel_w, dct = feature_matrices(feat)
         self._mel_w = mel_w
@@ -178,6 +186,35 @@ class StreamingCloner:
     @property
     def latency_seconds(self) -> float:
         return self.min_input_frames * self.hop / self.feat.sample_rate
+
+    def reset_stream(self, i: int) -> None:
+        """Hand stream slot ``i`` to a NEW independent stream (serving slot
+        reuse): every carried per-stream statistic is cleared, without
+        touching the other slots or the shared global frame clock.
+
+        The slot's next step re-estimates its input gain from that window's
+        emit-onward samples and re-captures its c0 at its first emitted
+        frame — the same freeze-at-first-window semantics a fresh
+        StreamingCloner applies at the global start (at global frame 0 the
+        emit-onward slice IS the whole first window, so a construction-time
+        "reset" is numerically the previous behavior; regression-locked by
+        test_streaming_push_block_size_invariance et al.). Frames the new
+        occupant emits before its own audio arrives are converted silence.
+        """
+        self._pending[i] = True
+        self._c0[i] = 0.0
+        self._mel_max[i] = -np.inf
+        self._inv_state[i] = 0.0
+        self._out_pending[i] = True
+        # the input buffer still holds the PREVIOUS occupant's audio, which
+        # would otherwise become the new stream's left context (cross-session
+        # leakage); the new occupant's context starts as silence
+        self._buf[i] = 0.0
+        if self._tail is not None:
+            self._tail[i] = 0.0          # fade the new stream in from zero
+        if self._phase_tail is not None:  # not the previous occupant's phase
+            self._phase_tail[i] = np.pi * self._rng[i].random(
+                self._phase_tail.shape[1:]).astype(np.float32)
 
     def _in(self, samples) -> np.ndarray:
         samples = np.asarray(samples, np.float32)
@@ -235,6 +272,19 @@ class StreamingCloner:
 
     # -------------------------------------------------------------- steps ---
 
+    def _freeze_gains(self, y: np.ndarray, start: int) -> None:
+        """Freeze the input gain of any still-pending stream from its first
+        window: mean |y| over the window's emit-onward samples (at the
+        global start that slice is the whole first window — the reference's
+        clip-wide estimate restricted to what has arrived,
+        audio_lib.py:125-126). Non-pending streams keep their frozen value;
+        an external ``input_gain`` pins every stream's gain (c0 capture,
+        driven by the same pending flags on device, still happens)."""
+        if self._pending.any() and not self._ext_gain:
+            m = np.maximum(np.mean(np.abs(y[:, start:]), axis=1), _TINY)
+            est = (self.feat.mean_abs_amp_norm / m).astype(np.float32)
+            self._gain = np.where(self._pending, est, self._gain)
+
     def _step(self) -> np.ndarray:
         """One steady chunk: emit frames [f0, f0+C) from a real-context
         window [f0-Lc-EB, f0+C+Rc+EB) (clamped at the global start)."""
@@ -249,23 +299,20 @@ class StreamingCloner:
         v1 = f1 + M
 
         y = self._buf[:, a * hop - self._buf_start : e * hop - self._buf_start]
-        if self._gain is None:
-            m = np.maximum(np.mean(np.abs(y), axis=1), _TINY)
-            self._gain = (self.feat.mean_abs_amp_norm / m).astype(np.float32)
+        self._freeze_gains(y, (f0 - a) * hop)
 
-        first = f0 == 0
         fwd = self.p._jitted(
-            "stream_fwd", (y.shape, v0 - a, v1 - a, first),
-            lambda: self._build_fwd(y.shape[1], v0 - a, v1 - a, first))
-        if first:
-            stft_v, mel_max, c0 = fwd(jnp.asarray(y), jnp.asarray(self._gain),
-                                      jnp.asarray(self._mel_max))
-            self._c0 = np.asarray(c0)
-        else:
-            stft_v, mel_max = fwd(jnp.asarray(y), jnp.asarray(self._gain),
+            "stream_fwd", (y.shape, v0 - a, v1 - a, f0 - a),
+            lambda: self._build_fwd(y.shape[1], v0 - a, v1 - a, f0 - a))
+        stft_v, mel_max, c0 = fwd(jnp.asarray(y), jnp.asarray(self._gain),
                                   jnp.asarray(self._c0),
+                                  jnp.asarray(self._pending),
                                   jnp.asarray(self._mel_max))
-        self._mel_max = np.asarray(mel_max)
+        # np.array (copy): jax buffers are read-only and reset_stream
+        # writes per-slot
+        self._c0 = np.array(c0)
+        self._pending[:] = False
+        self._mel_max = np.array(mel_max)
         if self.collect_debug:
             sv = np.asarray(stft_v)[:, f0 - v0 : f1 - v0]
             self.debug_stft.append(sv if self._vec else sv[0])
@@ -281,7 +328,7 @@ class StreamingCloner:
                             lambda: self._build_gl(f1 - v0))
         wav_pre, phase_tail = gl(stft_v, jnp.asarray(phase))
         wav_pre = np.array(wav_pre)          # [B, (W_v-1)*hop], preemph domain
-        self._phase_tail = np.asarray(phase_tail)
+        self._phase_tail = np.array(phase_tail)
 
         t_lo = (f1 - v0) * hop
         emit = self._emit(wav_pre, (f0 - v0) * hop, C * hop,
@@ -320,24 +367,20 @@ class StreamingCloner:
         idx = np.where(idx > L - 1, np.maximum(2 * (L - 1) - idx, 0), idx)
         y_ext = self._buf[:, idx - self._buf_start]
 
-        if self._gain is None:
-            m = np.maximum(np.mean(np.abs(self._buf), axis=1), _TINY)
-            self._gain = (feat.mean_abs_amp_norm / m).astype(np.float32)
+        self._freeze_gains(self._buf, 0)
 
-        first = f0 == 0
-        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, first),
+        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, f0 - a),
                              lambda: self._build_fwd(y_ext.shape[1], 0, W_end,
-                                                     first, centered=False))
-        if first:
-            stft_full, mel_max, c0 = fwd(jnp.asarray(y_ext),
-                                         jnp.asarray(self._gain),
-                                         jnp.asarray(self._mel_max))
-            self._c0 = np.asarray(c0)
-        else:
-            stft_full, mel_max = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
+                                                     f0 - a, centered=False))
+        stft_full, mel_max, c0 = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
                                      jnp.asarray(self._c0),
+                                     jnp.asarray(self._pending),
                                      jnp.asarray(self._mel_max))
-        self._mel_max = np.asarray(mel_max)
+        # np.array (copy): jax buffers are read-only and reset_stream
+        # writes per-slot
+        self._c0 = np.array(c0)
+        self._pending[:] = False
+        self._mel_max = np.array(mel_max)
         stft_full = np.asarray(stft_full)
         if self.collect_debug:
             sv = stft_full[:, f0 - a : total - a]
@@ -390,15 +433,19 @@ class StreamingCloner:
             emit = signal.lfilter([1.0], [1.0, -c], emit, axis=1).astype(np.float32)
             self._inv_state = emit[:, -1].copy()
 
-        # EMA output gain with a per-chunk linear ramp (no per-chunk AGC)
+        # EMA output gain with a per-chunk linear ramp (no per-chunk AGC);
+        # an out-pending stream (its first chunk, or a reset slot's first
+        # chunk under its new occupant) seeds its EMA from this chunk
         if n_emit:
             m_abs = np.mean(np.abs(emit), axis=1)
-            self._out_ema = (m_abs if self._out_ema is None else
-                             self.out_gain_ema * self._out_ema
-                             + (1.0 - self.out_gain_ema) * m_abs)
+            self._out_ema = np.where(
+                self._out_pending, m_abs,
+                self.out_gain_ema * self._out_ema
+                + (1.0 - self.out_gain_ema) * m_abs)
             g_new = (self.p.mean_abs_amp_norm
                      / np.maximum(self._out_ema, _TINY)).astype(np.float32)
-            g_prev = g_new if self._out_gain_prev is None else self._out_gain_prev
+            g_prev = np.where(self._out_pending, g_new, self._out_gain_prev)
+            self._out_pending[:] = False
             t = np.linspace(0.0, 1.0, n_emit, dtype=np.float32)
             emit *= g_prev[:, None] + (g_new - g_prev)[:, None] * t[None, :]
             self._out_gain_prev = g_new
@@ -406,18 +453,23 @@ class StreamingCloner:
 
     # ----------------------------------------------------- device builders ---
 
-    def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, first: bool,
+    def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, c0_pos: int,
                    centered: bool = True):
         """(features + encoder + decoder) for one window of B streams ->
         stft_pred slice [B, v_hi-v_lo, n_stft].
 
         Mirrors ops/features.mfcc_input (audio_lib.py:89-244) with the three
-        whole-clip statistics replaced by carried per-stream values: fixed
+        whole-clip statistics replaced by carried per-stream values: frozen
         gain, carried raw-c0 offset, carried running mel max for the top_db
-        clip. Features are vmapped per stream; the model forward runs
-        natively batched over the stream axis — one device program for all
-        B streams. The flush window passes ``centered=False``: its input is
-        already the offline-identical reflect-padded sample stream.
+        clip. ``pending[i]`` marks a stream at its first step (fresh or just
+        reset): it captures its c0 from
+        THIS window's frame ``c0_pos`` (its first emitted frame — frame 0 at
+        the global start, exactly audio_lib.py:220-221) instead of using the
+        carried value; the captured value is returned for carrying. Features
+        are vmapped per stream; the model forward runs natively batched over
+        the stream axis — one device program for all B streams. The flush
+        window passes ``centered=False``: its input is already the
+        offline-identical reflect-padded sample stream.
         """
         import jax
         import jax.numpy as jnp
@@ -428,7 +480,7 @@ class StreamingCloner:
         n_frames = (n_samples // feat.hop_length if centered else
                     (n_samples - feat.n_fft_) // feat.hop_length + 1)
 
-        def features(y, gain, c0_in, mel_max_in):
+        def features(y, gain, c0_in, pending, mel_max_in):
             y = y * gain
             y = preemphasis(y, feat.pre_emphasis, xp=jnp)
             F = jnp.abs(stft(y, n_fft=feat.n_fft_, hop_length=feat.hop_length,
@@ -442,7 +494,7 @@ class StreamingCloner:
             mel_max = jnp.maximum(mel_max_in, jnp.max(raw))
             M_dB = jnp.maximum(raw, mel_max - 80.0)
             MFCC = M_dB @ dct.T
-            c0 = MFCC[0, 0] if first else c0_in
+            c0 = jnp.where(pending, MFCC[c0_pos, 0], c0_in)
             if feat.mfcc_normaleze_first_mfcc:
                 MFCC = MFCC.at[:, 0].add(-c0)
             if feat.mfcc_norm_factor != 1.0:
@@ -455,17 +507,11 @@ class StreamingCloner:
                 MFCC = jnp.clip(MFCC, -1.0, 1.0)
             return MFCC[:n_frames], mel_max, c0
 
-        if first:
-            def fn(y, gain, mel_max_in):
-                zero = jnp.zeros(y.shape[0], jnp.float32)
-                mfcc, mel_max, c0 = jax.vmap(features)(y, gain, zero, mel_max_in)
-                _, stft_pred, _ = self.p.forward_windows(mfcc)
-                return stft_pred[:, v_lo:v_hi], mel_max, c0
-        else:
-            def fn(y, gain, c0_in, mel_max_in):
-                mfcc, mel_max, _ = jax.vmap(features)(y, gain, c0_in, mel_max_in)
-                _, stft_pred, _ = self.p.forward_windows(mfcc)
-                return stft_pred[:, v_lo:v_hi], mel_max
+        def fn(y, gain, c0_in, pending, mel_max_in):
+            mfcc, mel_max, c0 = jax.vmap(features)(y, gain, c0_in, pending,
+                                                   mel_max_in)
+            _, stft_pred, _ = self.p.forward_windows(mfcc)
+            return stft_pred[:, v_lo:v_hi], mel_max, c0
         return jax.jit(fn)
 
     def _build_gl(self, tail_lo: int, tail: bool = True):
