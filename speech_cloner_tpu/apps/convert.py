@@ -62,6 +62,10 @@ def main(argv=None):
     ap.add_argument("--realse", type=float, default=1.2)
     ap.add_argument("--gl-momentum", type=float, default=0.0,
                     help="Fast Griffin-Lim momentum (0 = reference algorithm)")
+    ap.add_argument("--gl-unroll", type=int, default=1,
+                    help="GL loop-body unroll (identical math; at whole-clip "
+                         "frame counts the loop is compute-bound and 1 is "
+                         "right — tools/gl_unroll_probe.py)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 model compute (f32 vocoder/softmax)")
     ap.add_argument("--save-true", action="store_true")
@@ -97,6 +101,7 @@ def main(argv=None):
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, realse=args.realse,
                          gl_momentum=args.gl_momentum,
+                         gl_unroll=args.gl_unroll,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     if not os.path.exists(args.input):

@@ -103,6 +103,9 @@ def main(argv=None):
     ap.add_argument("--n-iter", type=int, default=200)
     ap.add_argument("--realse", type=float, default=1.2)
     ap.add_argument("--gl-momentum", type=float, default=0.0)
+    ap.add_argument("--gl-unroll", type=int, default=1,
+                    help="GL loop-body unroll (identical math; whole-clip GL "
+                         "is compute-bound — tools/gl_unroll_probe.py)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 model compute (f32 vocoder/softmax)")
     ap.add_argument("--warm", default="",
@@ -150,6 +153,7 @@ def main(argv=None):
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, realse=args.realse,
                          gl_momentum=args.gl_momentum,
+                         gl_unroll=args.gl_unroll,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -56,6 +56,10 @@ def main(argv=None):
     ap.add_argument("--margin-frames", type=int, default=16)
     ap.add_argument("--n-iter", type=int, default=25)
     ap.add_argument("--gl-momentum", type=float, default=0.99)
+    ap.add_argument("--gl-unroll", type=int, default=6,
+                    help="GL loop-body unroll (identical math; measured "
+                         "~7%% per-chunk win at streaming shapes — "
+                         "tools/gl_unroll_probe.py)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--block-ms", type=float, default=100.0,
                     help="input arrives in blocks of this duration")
@@ -90,6 +94,7 @@ def main(argv=None):
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, gl_momentum=args.gl_momentum,
+                         gl_unroll=args.gl_unroll,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
     s = StreamingCloner(pipe, chunk_frames=args.chunk_frames,
                         context_frames=args.context_frames,

@@ -56,6 +56,10 @@ def griffin_lim(
     amortize the runtime's fixed per-iteration dispatch cost (identical
     math; num_iters-1 must stay divisible by it to reproduce the reference
     count — it is rounded down to the nearest divisor otherwise).
+    ``unroll >= num_iters - 1`` removes the while loop entirely: the body
+    is traced straight-line, which on runtimes with a fixed per-while-
+    iteration cost (docs/DESIGN.md GL probes) is the only form that pays
+    at small frame counts (the streaming chunks).
     """
     if n_fft is None:
         n_fft = win_length
@@ -92,7 +96,10 @@ def griffin_lim(
                 S = replace_magnitude(project(S))
             return S
 
-        S = jax.lax.fori_loop(0, n_body // k, body, S0)
+        if k == n_body:           # fully unrolled: no while loop at all
+            S = body(0, S0)
+        else:
+            S = jax.lax.fori_loop(0, n_body // k, body, S0)
     else:
         def body(_, carry):
             S, P_prev = carry
@@ -102,8 +109,11 @@ def griffin_lim(
                 S, P_prev = replace_magnitude(extrap), P
             return S, P_prev
 
-        S, _ = jax.lax.fori_loop(0, n_body // k, body,
-                                 (S0, jnp.zeros_like(S0)))
+        if k == n_body:
+            S, _ = body(0, (S0, jnp.zeros_like(S0)))
+        else:
+            S, _ = jax.lax.fori_loop(0, n_body // k, body,
+                                     (S0, jnp.zeros_like(S0)))
     wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
                 window=window, xp=jnp)
     return (wav, S) if return_stft else wav

@@ -43,6 +43,9 @@ class ClonePipeline:
     n_iter: int = 200
     realse: float = 1.0
     gl_momentum: float = 0.0          # Fast Griffin-Lim (opt-in; 0 = reference)
+    gl_unroll: int = 1                # GL loop-body unroll (identical math);
+                                      # >= n_iter-1 removes the while loop —
+                                      # pays at small frame counts (streaming)
     mean_abs_amp_norm: float = 0.045  # 15 * 0.003 (test.py:153,165)
     compute_dtype: object = None      # e.g. jnp.bfloat16 (opt-in; None = f32 parity)
 
@@ -136,6 +139,7 @@ class ClonePipeline:
             realse=self.realse,
             key=key,
             momentum=self.gl_momentum,
+            unroll=self.gl_unroll,
         )
 
     def device_convert(self, wav, key):

@@ -541,7 +541,8 @@ class StreamingCloner:
             wav, S = griffin_lim(F, feat.win_length, feat.hop_length,
                                  num_iters=p.n_iter, n_fft=feat.n_fft_,
                                  window=feat.window, init_phase=phase0,
-                                 momentum=p.gl_momentum, return_stft=True)
+                                 momentum=p.gl_momentum, unroll=p.gl_unroll,
+                                 return_stft=True)
             if not tail:
                 return wav
             return wav, jnp.angle(S[tail_lo - self.M : tail_lo])

@@ -324,8 +324,13 @@ def test_stft_nfft_larger_than_window():
 
 def test_griffin_lim_unroll_is_identical():
     """unroll replicates the loop body only — bit-identical reconstruction
-    (ops/griffin_lim.py; the knob exists to amortize the runtime's fixed
-    per-while-iteration dispatch cost, docs/DESIGN.md)."""
+    under jit, the deployed form (ops/griffin_lim.py; the knob exists to
+    amortize the runtime's fixed per-while-iteration dispatch cost,
+    docs/DESIGN.md). unroll >= num_iters-1 traces straight-line with no
+    while loop at all; only un-jitted eager execution may differ from the
+    compiled loop (per-op rounding), which no caller uses."""
+    import functools
+
     import jax
 
     from speech_cloner_tpu.ops.griffin_lim import griffin_lim
@@ -333,9 +338,12 @@ def test_griffin_lim_unroll_is_identical():
     amp = jnp.asarray(np.abs(RNG.standard_normal((60, 201))).astype(np.float32))
     key = jax.random.PRNGKey(3)
     for momentum in (0.0, 0.99):
-        y1 = np.asarray(griffin_lim(amp, 400, 80, num_iters=9, n_fft=400,
-                                    key=key, momentum=momentum, unroll=1))
-        for k in (3, 5, 8):  # 5 rounds down to divisor 4
-            yk = np.asarray(griffin_lim(amp, 400, 80, num_iters=9, n_fft=400,
-                                        key=key, momentum=momentum, unroll=k))
-            np.testing.assert_array_equal(y1, yk)
+        def run(k, momentum=momentum):
+            fn = jax.jit(functools.partial(
+                griffin_lim, win_length=400, hop_length=80, num_iters=9,
+                n_fft=400, momentum=momentum, unroll=k))
+            return np.asarray(fn(amp, key=key))
+
+        y1 = run(1)
+        for k in (3, 5, 8):  # 5 rounds down to divisor 4; 8 = full unroll
+            np.testing.assert_array_equal(y1, run(k))

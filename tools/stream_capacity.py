@@ -39,6 +39,7 @@ def main(argv=None):
     ap.add_argument("--lookahead-frames", type=int, default=200)
     ap.add_argument("--n-iter", type=int, default=25)
     ap.add_argument("--gl-momentum", type=float, default=0.99)
+    ap.add_argument("--gl-unroll", type=int, default=6)
     args = ap.parse_args(argv)
 
     os.environ.setdefault("SCL_COMPILE_CACHE", "1")
@@ -67,7 +68,8 @@ def main(argv=None):
     pipe = ClonePipeline(enc_cfg=enc_cfg, dec_cfg=dec_cfg, feat_cfg=feat_cfg,
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
-                         n_iter=args.n_iter, gl_momentum=args.gl_momentum)
+                         n_iter=args.n_iter, gl_momentum=args.gl_momentum,
+                         gl_unroll=args.gl_unroll)
 
     sr = feat_cfg.sample_rate
     hop = feat_cfg.hop_length
