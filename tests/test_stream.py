@@ -185,3 +185,24 @@ def test_batched_streams_match_single_streams():
         si = StreamingCloner(p, seed=5 + i, **kw)
         out_i = si.convert_all(wavs[i], block=5000)
         np.testing.assert_allclose(out_b[i], out_i, atol=1e-4, rtol=0)
+
+
+@pytest.mark.slow  # two full streaming compiles (~4 min CPU); the op-level
+def test_streaming_gl_unroll_invariance():  # identity is in the fast set
+    """gl_unroll replicates the GL loop body only (full unroll = straight
+    line, no while loop) — the streamed waveform must be bit-identical
+    (ops/griffin_lim.py; streaming apps default --gl-unroll 6 for the
+    measured dispatch-cost win, tools/gl_unroll_probe.py)."""
+    import dataclasses
+
+    p = _tiny_pipeline()
+    wav = _speechy_wav(1.5, seed=9)
+    kw = dict(chunk_frames=64, context_frames=64, lookahead_frames=48,
+              margin_frames=8)
+
+    base = StreamingCloner(p, **kw).convert_all(wav)
+    # full unroll (>= n_iter-1 -> no while loop); partial unrolls are
+    # covered at the op level by test_dsp.test_griffin_lim_unroll_is_identical
+    pu = dataclasses.replace(p, gl_unroll=64)
+    np.testing.assert_array_equal(base,
+                                  StreamingCloner(pu, **kw).convert_all(wav))
