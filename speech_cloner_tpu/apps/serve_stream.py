@@ -95,13 +95,13 @@ class StreamServer:
     def __init__(self, pipeline, *, slots: int = 4, chunk_frames: int = 400,
                  context_frames: int = 400, lookahead_frames: int = 200,
                  margin_frames: int = 16, seed: int = 0,
-                 out_scale: float = 4.0):
+                 out_scale: float = 4.0, mesh=None):
         from ..pipeline.stream import StreamingCloner
 
         self.s = StreamingCloner(
             pipeline, batch=slots, chunk_frames=chunk_frames,
             context_frames=context_frames, lookahead_frames=lookahead_frames,
-            margin_frames=margin_frames, seed=seed)
+            margin_frames=margin_frames, seed=seed, mesh=mesh)
         self.slots = slots
         self.block = chunk_frames * self.s.hop
         self.sr = pipeline.feat_cfg.sample_rate
@@ -249,6 +249,12 @@ def main(argv=None):
                          "int16 full scale — fixed, not per-chunk AGC, so it "
                          "never pumps; raise it if the capture chain expects "
                          "hotter output")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the slot axis over this many local devices "
+                         "(one 'streams' mesh axis; slots %% mesh == 0): "
+                         "multi-chip lockstep serving — slots/mesh streams "
+                         "per chip, params replicated, no steady-state "
+                         "collectives. 0 = single device")
     ap.add_argument("--warm", action="store_true",
                     help="compile the steady-state step before reading stdin")
     args = ap.parse_args(argv)
@@ -278,11 +284,17 @@ def main(argv=None):
                          gl_momentum=args.gl_momentum,
                          gl_unroll=args.gl_unroll,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[: args.mesh]), ("streams",))
     srv = StreamServer(pipe, slots=args.slots, chunk_frames=args.chunk_frames,
                        context_frames=args.context_frames,
                        lookahead_frames=args.lookahead_frames,
                        margin_frames=args.margin_frames,
-                       out_scale=args.out_scale)
+                       out_scale=args.out_scale, mesh=mesh)
 
     def emit(rec: dict):
         rec.setdefault("ts", round(time.time(), 3))

@@ -61,6 +61,14 @@ def main(argv=None):
                          "~7%% per-chunk win at streaming shapes — "
                          "tools/gl_unroll_probe.py)")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--gain-mode", choices=("running", "frozen"),
+                    default="running",
+                    help="input-gain estimate: 'running' converges to the "
+                         "offline clip-wide gain as audio arrives; 'frozen' "
+                         "keeps the first window's estimate")
+    ap.add_argument("--input-gain", type=float,
+                    help="pin the input gain (calibrated capture level); "
+                         "overrides --gain-mode")
     ap.add_argument("--block-ms", type=float, default=100.0,
                     help="input arrives in blocks of this duration")
     ap.add_argument("--realtime", action="store_true",
@@ -99,7 +107,9 @@ def main(argv=None):
     s = StreamingCloner(pipe, chunk_frames=args.chunk_frames,
                         context_frames=args.context_frames,
                         lookahead_frames=args.lookahead_frames,
-                        margin_frames=args.margin_frames)
+                        margin_frames=args.margin_frames,
+                        gain_mode=args.gain_mode,
+                        input_gain=args.input_gain)
 
     if not os.path.exists(args.input):
         raise SystemExit(f"error: input file not found: {args.input}")

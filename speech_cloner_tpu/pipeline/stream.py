@@ -33,17 +33,30 @@ production geometry in tools/stream_fidelity.py; results in docs/DESIGN.md):
   tail the same way zero conv halos corrupted SP edges in round 2).
 - **whole-clip feature statistics are carried, not re-estimated**: the
   reference normalizes amplitude by the clip-wide mean |y|
-  (audio_lib.py:125-126) — streaming freezes the gain after the first
-  window. MFCCs are invariant to that gain except through the first
-  cepstral coefficient (a uniform dB offset lands entirely on the DC
-  basis row of the orthonormal DCT), and the reference removes exactly
-  that offset by subtracting frame 0's raw c0 (audio_lib.py:220-221) —
-  streaming carries that scalar from chunk 0 and subtracts it in every
-  chunk. The residual gain sensitivity enters only through the dB floor
-  (``amin``) on near-silent mel bins; pass ``input_gain`` to remove it
-  entirely when the capture level is calibrated. amplitude_to_db's
-  ``top_db`` clip is relative to the GLOBAL mel max (ops/db.py) —
-  streaming carries a running max.
+  (audio_lib.py:125-126) — streaming estimates the gain from the first
+  window and, by default (``gain_mode="running"``), keeps refining it to
+  the mean over *everything that has arrived*, converging to the offline
+  clip-wide estimate (the flush window runs at EXACTLY the offline gain).
+  Refining is safe because MFCCs are invariant to that gain except through
+  the first cepstral coefficient (a uniform gain is a uniform dB offset,
+  which lands entirely on the DC basis row of the orthonormal DCT), and
+  the reference removes exactly that offset by subtracting frame 0's raw
+  c0 (audio_lib.py:220-221). To keep that subtraction exact while the
+  gain evolves, streaming carries the first emitted frame's mel spectrum
+  AT UNIT GAIN (the mel power map scales as gain²) and re-derives raw c0
+  on device every window at that window's gain and running mel max —
+  floors included. (A scalar c0 shifted by ``delta_dB*sqrt(n_mels)`` is
+  NOT exact: amin-floored bins don't shift with gain, and measurement
+  showed a silence-heavy frame 0 makes the scalar form worse than no
+  update at all.) The running mel max itself shifts exactly
+  (``mel_max += delta_dB``; the max is never a floored value once any
+  sound has arrived). The residual gain sensitivity enters only through
+  the dB floor (``amin``) on near-silent mel bins of the OTHER frames —
+  and decays as the running estimate converges; pass ``input_gain`` to
+  remove it entirely when the capture level is calibrated, or
+  ``gain_mode="frozen"`` to keep the first-window estimate for the whole
+  stream. amplitude_to_db's ``top_db`` clip is relative to the GLOBAL mel
+  max (ops/db.py) — streaming carries a running max.
 - **STFT chunk edges see real neighbor audio**: the offline reflect pad
   only applies at the true clip edges, where streaming reproduces it (the
   flush window is framed center=False over an offline-identical
@@ -76,6 +89,11 @@ from ..ops.stft import stft
 from .clone import ClonePipeline
 
 _TINY = np.float32(np.finfo(np.float32).tiny)
+# floor for the mean-|y| input-gain estimates: a silent window must not
+# produce a gain whose SQUARE overflows float32 (the carried unit-gain
+# mel0 is rescaled by gain^2 on device; norm/1e-12 squared is ~2e21,
+# comfortably finite, where norm/float32-tiny squared is inf -> NaN)
+_MIN_MEAN = np.float32(1e-12)
 
 
 class StreamingCloner:
@@ -111,7 +129,9 @@ class StreamingCloner:
         edge_frames: int = 4,
         seed: int = 0,
         batch: int | None = None,
+        mesh=None,
         input_gain=None,
+        gain_mode: str | None = None,
         out_gain_ema: float = 0.9,
         collect_debug: bool = False,
     ):
@@ -137,11 +157,38 @@ class StreamingCloner:
         self.Rc = lookahead_frames
         self.M = margin_frames
         self.EB = edge_frames
+        # gain_mode: "running" keeps refining the input-gain estimate to the
+        # mean |y| over everything arrived so far (exact modulo the amin
+        # floor — requires the c0 normalization that makes MFCCs
+        # gain-invariant); "frozen" keeps the first-window estimate (the
+        # round-3 behavior). None = running when supported, else frozen.
+        if gain_mode not in (None, "running", "frozen"):
+            raise ValueError("gain_mode must be 'running' or 'frozen'")
+        if gain_mode == "running" and not feat.mfcc_normaleze_first_mfcc:
+            raise ValueError(
+                "gain_mode='running' needs mfcc_normaleze_first_mfcc (the "
+                "carried-c0 subtraction is what makes a gain update exact)")
+        self._running = (gain_mode != "frozen" and input_gain is None
+                         and feat.mfcc_normaleze_first_mfcc)
         self.out_gain_ema = out_gain_ema
         self.collect_debug = collect_debug
         self.debug_stft: list[np.ndarray] = []
         self._vec = batch is not None
         B = self.B = batch or 1
+        # multi-chip lockstep: shard the stream axis over a 1-D device mesh —
+        # pure data parallelism of the per-step programs (params replicated,
+        # B/n streams per chip, ZERO cross-chip collectives in steady state).
+        # Capacity then scales as n_chips x streams-per-chip with the same
+        # single-program serving structure (tools/stream_capacity.py).
+        self.mesh = mesh
+        if mesh is not None:
+            if B % mesh.size != 0:
+                raise ValueError(f"batch={B} must divide over the {mesh.size}-"
+                                 "device mesh")
+            if len(mesh.axis_names) != 1:
+                raise ValueError("stream mesh must be 1-D (streams axis only)")
+        self._mesh_key = (None if mesh is None else
+                          (mesh.axis_names, mesh.devices.shape))
 
         # per-stream RNG: stream i draws from seed+i, so a batched run is
         # draw-for-draw the B single-stream runs with seeds seed..seed+B-1
@@ -162,7 +209,17 @@ class StreamingCloner:
                 np.asarray(input_gain, np.float32), (B,)).copy()
         self._ext_gain = input_gain is not None
         self._pending = np.ones(B, bool)
-        self._c0 = np.zeros(B, np.float32)       # carried raw first-MFCC offset
+        # running-gain accumulators: Σ|y| and sample count over the slot's
+        # current occupant (from its first window's emit start), plus the
+        # global sample index the sums include up to (steps are lockstep,
+        # so one scalar serves all slots)
+        self._g_sum = np.zeros(B, np.float64)
+        self._g_cnt = np.zeros(B, np.int64)
+        self._g_upto = 0
+        # carried first-emitted-frame mel spectrum at UNIT gain: raw c0 is
+        # recomputed from it on device each window at the current gain and
+        # mel max (exact through the amin/top_db floors at any gain)
+        self._m0 = np.zeros((B, feat.n_mels), np.float32)
         self._mel_max = np.full(B, -np.inf, np.float32)  # top_db running max
         self._tail: np.ndarray | None = None     # [B, (M-1)*hop] preemph overlap
         self._phase_tail: np.ndarray | None = None  # [B, M, n_stft]
@@ -202,10 +259,12 @@ class StreamingCloner:
         occupant emits before its own audio arrives are converted silence.
         """
         self._pending[i] = True
-        self._c0[i] = 0.0
+        self._m0[i] = 0.0
         self._mel_max[i] = -np.inf
         self._inv_state[i] = 0.0
         self._out_pending[i] = True
+        self._g_sum[i] = 0.0
+        self._g_cnt[i] = 0
         # the input buffer still holds the PREVIOUS occupant's audio, which
         # would otherwise become the new stream's left context (cross-session
         # leakage); the new occupant's context starts as silence
@@ -272,18 +331,61 @@ class StreamingCloner:
 
     # -------------------------------------------------------------- steps ---
 
-    def _freeze_gains(self, y: np.ndarray, start: int) -> None:
-        """Freeze the input gain of any still-pending stream from its first
-        window: mean |y| over the window's emit-onward samples (at the
-        global start that slice is the whole first window — the reference's
-        clip-wide estimate restricted to what has arrived,
-        audio_lib.py:125-126). Non-pending streams keep their frozen value;
-        an external ``input_gain`` pins every stream's gain (c0 capture,
+    def _update_gains(self, y: np.ndarray, start: int, upto: int) -> None:
+        """Per-step input-gain maintenance (host side, before the device
+        call).
+
+        Pending streams freeze their gain from this (their first) window:
+        mean |y| over the window's emit-onward samples — the reference's
+        clip-wide estimate (audio_lib.py:125-126) restricted to what has
+        arrived. In running mode (the default), non-pending streams then
+        refine their gain to the mean |y| over everything the occupant has
+        pushed so far (global samples up to ``upto``; at flush that is the
+        whole clip, so the final window runs at EXACTLY the offline gain).
+        A gain change is a uniform dB shift of the mel-dB map, so the
+        carried statistics are re-expressed exactly (modulo the amin floor,
+        the module docstring's approximation class): raw c0 moves by
+        ``delta_dB * Σ dct[0,:]`` and the running mel max by ``delta_dB``.
+        An external ``input_gain`` pins every stream's gain (c0 capture,
         driven by the same pending flags on device, still happens)."""
-        if self._pending.any() and not self._ext_gain:
-            m = np.maximum(np.mean(np.abs(y[:, start:]), axis=1), _TINY)
+        if self._ext_gain:
+            return
+        if self._running and upto > self._g_upto:
+            seg = self._buf[:, self._g_upto - self._buf_start:
+                            upto - self._buf_start]
+            self._g_sum += np.abs(seg).sum(axis=1, dtype=np.float64)
+            self._g_cnt += seg.shape[1]
+            self._g_upto = upto
+        if self._pending.any():
+            m = np.maximum(np.mean(np.abs(y[:, start:]), axis=1), _MIN_MEAN)
             est = (self.feat.mean_abs_amp_norm / m).astype(np.float32)
             self._gain = np.where(self._pending, est, self._gain)
+            if self._running:
+                # the occupant's accumulation domain starts at its first
+                # window's emit start — overwrite whatever the global
+                # increment above put in this slot
+                self._g_sum = np.where(
+                    self._pending,
+                    np.abs(y[:, start:]).sum(axis=1, dtype=np.float64),
+                    self._g_sum)
+                self._g_cnt = np.where(self._pending, y.shape[1] - start,
+                                       self._g_cnt)
+        if self._running:
+            upd = (~self._pending) & (self._g_cnt > 0)
+            if upd.any():
+                mean = np.maximum(
+                    self._g_sum / np.maximum(self._g_cnt, 1), _MIN_MEAN)
+                g_new = (self.feat.mean_abs_amp_norm / mean).astype(np.float32)
+                delta = np.where(
+                    upd, 20.0 * np.log10(g_new / self._gain), 0.0
+                ).astype(np.float32)
+                # a uniform gain change is a uniform dB shift of every
+                # UNfloored mel value; the running max is unfloored by
+                # construction, so it shifts exactly (c0 needs no host
+                # adjustment: it is re-derived on device from the carried
+                # unit-gain mel0 at whatever gain this window runs at)
+                self._mel_max += delta
+                self._gain = np.where(upd, g_new, self._gain)
 
     def _step(self) -> np.ndarray:
         """One steady chunk: emit frames [f0, f0+C) from a real-context
@@ -299,18 +401,18 @@ class StreamingCloner:
         v1 = f1 + M
 
         y = self._buf[:, a * hop - self._buf_start : e * hop - self._buf_start]
-        self._freeze_gains(y, (f0 - a) * hop)
+        self._update_gains(y, (f0 - a) * hop, e * hop)
 
         fwd = self.p._jitted(
-            "stream_fwd", (y.shape, v0 - a, v1 - a, f0 - a),
+            "stream_fwd", (y.shape, v0 - a, v1 - a, f0 - a, self._mesh_key),
             lambda: self._build_fwd(y.shape[1], v0 - a, v1 - a, f0 - a))
-        stft_v, mel_max, c0 = fwd(jnp.asarray(y), jnp.asarray(self._gain),
-                                  jnp.asarray(self._c0),
+        stft_v, mel_max, mel0 = fwd(jnp.asarray(y), jnp.asarray(self._gain),
+                                  jnp.asarray(self._m0),
                                   jnp.asarray(self._pending),
                                   jnp.asarray(self._mel_max))
         # np.array (copy): jax buffers are read-only and reset_stream
         # writes per-slot
-        self._c0 = np.array(c0)
+        self._m0 = np.array(mel0)
         self._pending[:] = False
         self._mel_max = np.array(mel_max)
         if self.collect_debug:
@@ -324,7 +426,7 @@ class StreamingCloner:
         ).astype(np.float32)
         if self._phase_tail is not None:
             phase[:, :M] = self._phase_tail
-        gl = self.p._jitted("stream_gl", (self.B, W_v, f1 - v0, True),
+        gl = self.p._jitted("stream_gl", (self.B, W_v, f1 - v0, True, self._mesh_key),
                             lambda: self._build_gl(f1 - v0))
         wav_pre, phase_tail = gl(stft_v, jnp.asarray(phase))
         wav_pre = np.array(wav_pre)          # [B, (W_v-1)*hop], preemph domain
@@ -367,18 +469,18 @@ class StreamingCloner:
         idx = np.where(idx > L - 1, np.maximum(2 * (L - 1) - idx, 0), idx)
         y_ext = self._buf[:, idx - self._buf_start]
 
-        self._freeze_gains(self._buf, 0)
+        self._update_gains(self._buf, 0, self._n_samples)
 
-        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, f0 - a),
+        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, f0 - a, self._mesh_key),
                              lambda: self._build_fwd(y_ext.shape[1], 0, W_end,
                                                      f0 - a, centered=False))
-        stft_full, mel_max, c0 = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
-                                     jnp.asarray(self._c0),
+        stft_full, mel_max, mel0 = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
+                                     jnp.asarray(self._m0),
                                      jnp.asarray(self._pending),
                                      jnp.asarray(self._mel_max))
         # np.array (copy): jax buffers are read-only and reset_stream
         # writes per-slot
-        self._c0 = np.array(c0)
+        self._m0 = np.array(mel0)
         self._pending[:] = False
         self._mel_max = np.array(mel_max)
         stft_full = np.asarray(stft_full)
@@ -394,7 +496,7 @@ class StreamingCloner:
             [g.random((W_v, feat.n_stft)) for g in self._rng]).astype(np.float32)
         if self._phase_tail is not None and f0 - M >= v0:
             phase[:, f0 - M - v0 : f0 - v0] = self._phase_tail
-        gl = self.p._jitted("stream_gl_end", (self.B, W_v, M, False),
+        gl = self.p._jitted("stream_gl_end", (self.B, W_v, M, False, self._mesh_key),
                             lambda: self._build_gl(M, tail=False))
         wav_pre = np.array(gl(jnp.asarray(stft_v), jnp.asarray(phase)))
 
@@ -453,20 +555,46 @@ class StreamingCloner:
 
     # ----------------------------------------------------- device builders ---
 
+    def _jit_sharded(self, fn, in_ranks, out_ranks):
+        """jit with the stream (batch) axis sharded over ``self.mesh`` —
+        every input/output is stream-major, so rank alone determines its
+        NamedSharding. ``out_ranks`` may be a single int for a single-array
+        output. With no mesh this is plain jit (single chip)."""
+        import jax
+
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ax = self.mesh.axis_names[0]
+
+        def sh(r):
+            return NamedSharding(self.mesh, PartitionSpec(ax, *([None] * (r - 1))))
+
+        out = sh(out_ranks) if isinstance(out_ranks, int) \
+            else tuple(sh(r) for r in out_ranks)
+        return jax.jit(fn, in_shardings=tuple(sh(r) for r in in_ranks),
+                       out_shardings=out)
+
     def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, c0_pos: int,
                    centered: bool = True):
         """(features + encoder + decoder) for one window of B streams ->
         stft_pred slice [B, v_hi-v_lo, n_stft].
 
         Mirrors ops/features.mfcc_input (audio_lib.py:89-244) with the three
-        whole-clip statistics replaced by carried per-stream values: frozen
-        gain, carried raw-c0 offset, carried running mel max for the top_db
-        clip. ``pending[i]`` marks a stream at its first step (fresh or just
-        reset): it captures its c0 from
-        THIS window's frame ``c0_pos`` (its first emitted frame — frame 0 at
-        the global start, exactly audio_lib.py:220-221) instead of using the
-        carried value; the captured value is returned for carrying. Features
-        are vmapped per stream; the model forward runs natively batched over
+        whole-clip statistics replaced by carried per-stream values: the
+        input gain, the first emitted frame's UNIT-GAIN mel spectrum (from
+        which the raw-c0 offset is recomputed every window at the current
+        gain/mel-max — exact through the amin and top_db floors, which a
+        scalar-c0 dB-shift adjustment is not: floored bins do not shift
+        with gain, and measurement showed a silence-heavy frame 0 makes
+        the scalar form WORSE than no update at all), and the running mel
+        max for the top_db clip. ``pending[i]`` marks a stream at its first
+        step (fresh or just reset): it captures its mel0 from THIS window's
+        frame ``c0_pos`` (its first emitted frame — frame 0 at the global
+        start, exactly audio_lib.py:220-221) instead of using the carried
+        value; the captured value is returned for carrying. Features are
+        vmapped per stream; the model forward runs natively batched over
         the stream axis — one device program for all B streams. The flush
         window passes ``centered=False``: its input is already the
         offline-identical reflect-padded sample stream.
@@ -480,7 +608,7 @@ class StreamingCloner:
         n_frames = (n_samples // feat.hop_length if centered else
                     (n_samples - feat.n_fft_) // feat.hop_length + 1)
 
-        def features(y, gain, c0_in, pending, mel_max_in):
+        def features(y, gain, mel0_in, pending, mel_max_in):
             y = y * gain
             y = preemphasis(y, feat.pre_emphasis, xp=jnp)
             F = jnp.abs(stft(y, n_fft=feat.n_fft_, hop_length=feat.hop_length,
@@ -494,7 +622,14 @@ class StreamingCloner:
             mel_max = jnp.maximum(mel_max_in, jnp.max(raw))
             M_dB = jnp.maximum(raw, mel_max - 80.0)
             MFCC = M_dB @ dct.T
-            c0 = jnp.where(pending, MFCC[c0_pos, 0], c0_in)
+            # the mel power map scales as gain^2, so the first emitted
+            # frame's mel spectrum is carried at unit gain and its raw c0
+            # is re-derived here at THIS window's gain and mel max — the
+            # same floors, in the same places, as the window it came from
+            mel0 = jnp.where(pending, M_spec[c0_pos] / (gain * gain), mel0_in)
+            raw0 = 10.0 * jnp.log10(jnp.maximum(
+                1e-10, jnp.square(mel0 * (gain * gain))))
+            c0 = jnp.maximum(raw0, mel_max - 80.0) @ dct[0]
             if feat.mfcc_normaleze_first_mfcc:
                 MFCC = MFCC.at[:, 0].add(-c0)
             if feat.mfcc_norm_factor != 1.0:
@@ -505,14 +640,14 @@ class StreamingCloner:
                 MFCC = jnp.concatenate([MFCC, d], 1)
             if feat.clip_output:
                 MFCC = jnp.clip(MFCC, -1.0, 1.0)
-            return MFCC[:n_frames], mel_max, c0
+            return MFCC[:n_frames], mel_max, mel0
 
-        def fn(y, gain, c0_in, pending, mel_max_in):
-            mfcc, mel_max, c0 = jax.vmap(features)(y, gain, c0_in, pending,
-                                                   mel_max_in)
+        def fn(y, gain, mel0_in, pending, mel_max_in):
+            mfcc, mel_max, mel0 = jax.vmap(features)(y, gain, mel0_in,
+                                                     pending, mel_max_in)
             _, stft_pred, _ = self.p.forward_windows(mfcc)
-            return stft_pred[:, v_lo:v_hi], mel_max, c0
-        return jax.jit(fn)
+            return stft_pred[:, v_lo:v_hi], mel_max, mel0
+        return self._jit_sharded(fn, (2, 1, 2, 1, 1), (3, 1, 2))
 
     def _build_gl(self, tail_lo: int, tail: bool = True):
         """Griffin-Lim over one vocode region of B streams, seeded phase,
@@ -546,4 +681,4 @@ class StreamingCloner:
             if not tail:
                 return wav
             return wav, jnp.angle(S[tail_lo - self.M : tail_lo])
-        return jax.jit(jax.vmap(one))
+        return self._jit_sharded(jax.vmap(one), (3, 3), (2, 3) if tail else 2)

@@ -102,6 +102,58 @@ def test_streaming_gain_invariance():
     assert np.abs(a - b).max() < 1e-3
 
 
+def test_streaming_running_gain_converges_to_offline():
+    """gain_mode='running' (the default): the gain estimate converges to
+    the offline clip-wide mean-|y| gain — exactly so at the flush window —
+    and the streamed spectrogram is at least as close to the exact forward
+    as the frozen-gain mode on a clip whose first window is not
+    representative of the whole (quiet start)."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(2.5, seed=21)
+    n_fade = 16000
+    wav[:n_fade] *= 0.15 + 0.85 * np.arange(n_fade, dtype=np.float32) / n_fade
+    kw = dict(chunk_frames=64, context_frames=64, lookahead_frames=48,
+              margin_frames=8, collect_debug=True)
+
+    mfcc, _, _ = mfcc_input(jnp.asarray(wav), p.feat_cfg, xp=jnp)
+    _, ref, _ = p.forward_windows(mfcc[None])
+    ref = np.asarray(ref[0])
+
+    errs = {}
+    for mode in ("frozen", "running"):
+        s = StreamingCloner(p, gain_mode=mode, **kw)
+        s.convert_all(wav, block=4096)
+        streamed = np.concatenate(s.debug_stft)
+        T = min(streamed.shape[0], ref.shape[0])
+        errs[mode] = np.abs(streamed[:T] - ref[:T])
+        if mode == "running":
+            # flush ran at EXACTLY the offline gain
+            g_off = p.feat_cfg.mean_abs_amp_norm / np.mean(np.abs(wav))
+            np.testing.assert_allclose(s._gain, g_off, rtol=1e-5)
+        else:
+            g_first = s._gain.copy()
+    assert not np.allclose(g_first, g_off)  # the clip actually exercises it
+    # the interesting error is where the gain has converged (past the first
+    # chunk); running must not be worse anywhere that matters
+    assert np.median(errs["running"]) <= np.median(errs["frozen"]) * 1.05
+    assert errs["running"][64:].max() <= errs["frozen"][64:].max() * 1.05
+
+
+def test_streaming_silent_start_is_finite():
+    """A pure-silence first window must not poison the carried statistics:
+    the gain estimate is floored so gain^2 stays finite in f32 (the carried
+    unit-gain mel0 is rescaled by gain^2 on device) — output stays finite
+    through the silence and after real audio arrives."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(2.0, seed=7)
+    wav[: wav.size // 2] = 0.0  # first chunks are exact digital silence
+    s = StreamingCloner(p, chunk_frames=64, context_frames=64,
+                        lookahead_frames=48, margin_frames=8)
+    out = np.concatenate([s.push(wav), s.flush()])
+    assert np.isfinite(out).all()
+    assert np.isfinite(s._gain).all() and np.isfinite(s._m0).all()
+
+
 def test_streaming_short_clip_flush_only():
     """A clip shorter than one chunk converts entirely in flush()."""
     p = _tiny_pipeline()
@@ -185,6 +237,29 @@ def test_batched_streams_match_single_streams():
         si = StreamingCloner(p, seed=5 + i, **kw)
         out_i = si.convert_all(wavs[i], block=5000)
         np.testing.assert_allclose(out_b[i], out_i, atol=1e-4, rtol=0)
+
+
+def test_mesh_sharded_streams_match_unsharded():
+    """batch=B streams sharded over a 1-D device mesh (multi-chip lockstep
+    serving: B/n streams per chip, params replicated, no steady-state
+    collectives) must equal the single-device batched run."""
+    from jax.sharding import Mesh
+
+    p = _tiny_pipeline()
+    wavs = np.stack([_speechy_wav(1.5, seed=30 + i) * (0.5 + 0.25 * i)
+                     for i in range(4)])
+    kw = dict(chunk_frames=64, context_frames=64, lookahead_frames=48,
+              margin_frames=8)
+
+    base = StreamingCloner(p, batch=4, seed=2, **kw).convert_all(wavs)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("streams",))
+    s = StreamingCloner(p, batch=4, seed=2, mesh=mesh, **kw)
+    out = s.convert_all(wavs)
+    np.testing.assert_allclose(out, base, atol=1e-5, rtol=0)
+
+    with pytest.raises(ValueError):
+        StreamingCloner(p, batch=3, mesh=mesh, **kw)  # 3 % 4 != 0
 
 
 @pytest.mark.slow  # two full streaming compiles (~4 min CPU); the op-level

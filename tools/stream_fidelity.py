@@ -62,7 +62,12 @@ def main(argv=None):
     ap.add_argument("--calibrated-gain", action="store_true",
                     help="give the streamer the offline whole-clip gain "
                          "(isolates context-truncation error from the "
-                         "frozen-gain estimate)")
+                         "gain estimate)")
+    ap.add_argument("--gain-mode", choices=("running", "frozen"),
+                    default="running",
+                    help="uncalibrated gain handling: 'running' converges "
+                         "to the offline clip-wide estimate; 'frozen' keeps "
+                         "the first window's (the round-3 behavior)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -157,11 +162,13 @@ def main(argv=None):
         lc, rc = (int(x) for x in setting.split(":"))
         s = StreamingCloner(pipe, chunk_frames=args.chunk, context_frames=lc,
                             lookahead_frames=rc, margin_frames=args.margin,
-                            input_gain=gain, collect_debug=True)
+                            input_gain=gain, gain_mode=args.gain_mode,
+                            collect_debug=True)
         out = s.convert_all(wav)
         streamed = np.concatenate(s.debug_stft, axis=0)
         e_stream = spectral_err(out, F_target, feat_cfg)
-        print(f"streaming context={lc} lookahead={rc} "
+        gdesc = "calibrated" if gain is not None else args.gain_mode
+        print(f"streaming context={lc} lookahead={rc} gain={gdesc} "
               f"(algorithmic latency {s.latency_seconds:.2f}s):")
         print(stats("stream stft vs exact", streamed, ref_stft))
         print(f"  streamed-wav spectral error {e_stream:.4f} "
