@@ -133,22 +133,34 @@ def main(argv=None):
         ds_filter_d = None
     ds.build_spec_cache()
 
-    n_trn = ds.get_n_windows(args.prop_val, ds_filter_d)[0]
-    steps_per_epoch = max(n_trn // args.batch_size, 1)
-    print(f" n_windows_trn={n_trn}  steps/epoch={steps_per_epoch}")
-
-    # a val split smaller than one batch can never yield; validate on train
-    # data instead of hanging (the reference's split had the same failure
-    # mode silently — sound_ds.py:268-283)
     import numpy as np
 
     f = ds.get_ds_filter(ds_filter_d) if ds_filter_d else np.ones(
         len(ds.ds["wav"]), bool)
+
+    if args.ds_kind == "target":
+        # TARGET_spk semantics: one file per batch (batch_size crops from
+        # it), so an epoch is one pass over the window-eligible files
+        trn_utt = ds._val_split(np.flatnonzero(f), args.prop_val, True)
+        steps_per_epoch = max(sum(
+            1 for i in trn_utt
+            if len(ds.ds["wav"][i]) // feat_cfg.hop_length + 1 > cfg.n_timesteps), 1)
+        print(f" n_files_trn={len(trn_utt)}  steps/epoch={steps_per_epoch}")
+    else:
+        n_trn = ds.get_n_windows(args.prop_val, ds_filter_d)[0]
+        steps_per_epoch = max(n_trn // args.batch_size, 1)
+        print(f" n_windows_trn={n_trn}  steps/epoch={steps_per_epoch}")
+
+    # a val split too small to yield a batch would hang the loop; validate
+    # on train data instead (the reference's split had the same failure
+    # mode silently — sound_ds.py:268-283). For target-kind corpora one
+    # val FILE suffices (each batch is crops of a single file).
     n_val_utts = len(ds._val_split(np.flatnonzero(f), args.prop_val, False))
+    val_needs = 1 if args.ds_kind == "target" else args.batch_size
     val_sample_trn = False
-    if n_val_utts < args.batch_size:
-        print(f" WARNING: val split has {n_val_utts} utterances < batch "
-              f"{args.batch_size}; validating on train data")
+    if n_val_utts < val_needs:
+        print(f" WARNING: val split has {n_val_utts} utterances "
+              f"(< {val_needs} needed); validating on train data")
         val_sample_trn = True
 
     params, state = dec_m.init(jax.random.PRNGKey(args.seed), cfg)
@@ -220,12 +232,15 @@ def main(argv=None):
         trn_pos = positions(True)
         val_pos = trn_pos if val_sample_trn else positions(False)
 
+        sampler_fn = (dw.file_batch_sampler if args.ds_kind == "target"
+                      else dw.index_sampler)
+
         def batches(sample_trn):
             p = trn_pos if sample_trn else val_pos
 
             def gen():
-                yield from dw.index_sampler(p, args.batch_size, n_epochs=1,
-                                            rng=ds.rng)
+                yield from sampler_fn(p, args.batch_size, n_epochs=1,
+                                      rng=ds.rng)
             return gen
 
         def with_gather(fn):

@@ -85,6 +85,28 @@ class DeviceWindows:
                     [rng.integers(0, max(l - self.T, 1)) for l in lens], np.int32)
                 yield utts, starts
 
+    def file_batch_sampler(self, samples: np.ndarray, batch_size: int,
+                           n_epochs: int = 1, rng=None, randomize: bool = True):
+        """TARGET_spk sampling semantics: each batch is ``batch_size`` random
+        crops from ONE utterance, files visited in (permuted) order, files
+        shorter than one window skipped (TARGET_spk_reader.py:187-246 /
+        data/target_spk.spec_window_sampler) — the device-loader analog of
+        that host sampler. An audiobook-style corpus has few long files, so
+        per-utterance batching (index_sampler) would starve at
+        n_files < batch_size where this never does."""
+        rng = rng or np.random.default_rng(0)
+        samples = np.asarray(samples)
+        for _ in range(n_epochs):
+            order = rng.permutation(samples) if randomize else samples
+            for i in order:
+                n = int(self.n_frames[int(i)])
+                if n <= self.T:
+                    continue
+                utts = np.full(batch_size, int(i), np.int32)
+                starts = rng.integers(0, n - self.T,
+                                      size=batch_size).astype(np.int32)
+                yield utts, starts
+
 
 def from_h5(h5_path: str, streams, utt_ids: np.ndarray, T: int,
             sharding=None) -> DeviceWindows:
