@@ -58,10 +58,11 @@ production geometry in tools/stream_fidelity.py; results in docs/DESIGN.md):
   stream. amplitude_to_db's ``top_db`` clip is relative to the GLOBAL mel
   max (ops/db.py) — streaming carries a running max.
 - **STFT chunk edges see real neighbor audio**: the offline reflect pad
-  only applies at the true clip edges, where streaming reproduces it (the
-  flush window is framed center=False over an offline-identical
-  reflect-padded tail); ``edge_frames`` boundary frames per side are
-  computed and discarded in steady chunks.
+  only applies at the true clip edges, where streaming reproduces it — the
+  flush window is framed center=False over the pre-emphasized stream
+  reflect-padded exactly as the offline front-end pads it (pre-emphasis
+  FIRST, np.pad-reflect semantics, ops/features.mfcc_input); ``edge_frames``
+  boundary frames per side are computed and discarded in steady chunks.
 - **vocoder continuity**: Griffin-Lim runs per chunk over
   ``[chunk - margin, chunk + margin]`` frames, seeded with the previous
   chunk's final STFT phase over the leading margin (phase-coherent
@@ -132,6 +133,7 @@ class StreamingCloner:
         mesh=None,
         input_gain=None,
         gain_mode: str | None = None,
+        first_gain: str = "window",
         out_gain_ema: float = 0.9,
         collect_debug: bool = False,
     ):
@@ -141,6 +143,16 @@ class StreamingCloner:
             raise ValueError("margin_frames must be >= 2 (crossfade needs >= 1 hop)")
         if margin_frames > lookahead_frames + edge_frames:
             raise ValueError("margin_frames must be <= lookahead_frames + edge_frames")
+        if margin_frames > context_frames + edge_frames:
+            # _step's vocode region starts margin frames before the emit
+            # start; the window only reaches context+edge frames back, so a
+            # larger margin would slice the stft_pred window out of range
+            raise ValueError("margin_frames must be <= context_frames + edge_frames")
+        if chunk_frames < margin_frames - 1:
+            # the crossfade region ((margin-1) hops) must fit inside one
+            # emitted chunk, or it would overlap the tail snapshot taken for
+            # the NEXT chunk and leave a seam discontinuity
+            raise ValueError("chunk_frames must be >= margin_frames - 1")
         if batch is not None and batch < 1:
             raise ValueError("batch must be >= 1")
         feat = pipeline.feat_cfg
@@ -170,6 +182,18 @@ class StreamingCloner:
                 "carried-c0 subtraction is what makes a gain update exact)")
         self._running = (gain_mode != "frozen" and input_gain is None
                          and feat.mfcc_normaleze_first_mfcc)
+        # first_gain: scope of a stream's FIRST (frozen-at-pending) gain
+        # estimate. "window" = that step's full model window (context +
+        # emit + lookahead + edge; deterministic in the stream CONTENT, so
+        # output is invariant to how the audio was sliced into pushes).
+        # "buffered" = everything the occupant has pushed by its first step
+        # — strictly closer to the offline clip-wide estimate (exactly it,
+        # when the whole clip is pushed before the first read) at the cost
+        # of push-granularity-dependent output (measured in
+        # tools/stream_fidelity.py --first-gain buffered).
+        if first_gain not in ("window", "buffered"):
+            raise ValueError("first_gain must be 'window' or 'buffered'")
+        self.first_gain = first_gain
         self.out_gain_ema = out_gain_ema
         self.collect_debug = collect_debug
         self.debug_stft: list[np.ndarray] = []
@@ -209,13 +233,19 @@ class StreamingCloner:
                 np.asarray(input_gain, np.float32), (B,)).copy()
         self._ext_gain = input_gain is not None
         self._pending = np.ones(B, bool)
+        # global sample index where each slot's CURRENT occupant's audio
+        # begins: 0 at construction, the reset-time push count after
+        # reset_stream — first-gain estimates and running accumulators
+        # never include the zeroed span before a mid-window occupant's
+        # audio actually arrived
+        self._audio_from = np.zeros(B, np.int64)
         # running-gain accumulators: Σ|y| and sample count over the slot's
-        # current occupant (from its first window's emit start), plus the
-        # global sample index the sums include up to (steps are lockstep,
-        # so one scalar serves all slots)
+        # current occupant (from where its audio begins), plus the global
+        # sample index each slot's sums include up to (per-slot: a pending
+        # slot under first_gain="buffered" accumulates ahead of the others)
         self._g_sum = np.zeros(B, np.float64)
         self._g_cnt = np.zeros(B, np.int64)
-        self._g_upto = 0
+        self._g_upto = np.zeros(B, np.int64)
         # carried first-emitted-frame mel spectrum at UNIT gain: raw c0 is
         # recomputed from it on device each window at the current gain and
         # mel max (exact through the amin/top_db floors at any gain)
@@ -265,6 +295,10 @@ class StreamingCloner:
         self._out_pending[i] = True
         self._g_sum[i] = 0.0
         self._g_cnt[i] = 0
+        # the occupant's audio starts at the next pushed sample: its gain
+        # statistics must not include the zeroed span this reset leaves in
+        # the slot's current window
+        self._audio_from[i] = self._n_samples
         # the input buffer still holds the PREVIOUS occupant's audio, which
         # would otherwise become the new stream's left context (cross-session
         # leakage); the new occupant's context starts as silence
@@ -331,45 +365,57 @@ class StreamingCloner:
 
     # -------------------------------------------------------------- steps ---
 
-    def _update_gains(self, y: np.ndarray, start: int, upto: int) -> None:
+    def _update_gains(self, win_lo: int, upto: int) -> None:
         """Per-step input-gain maintenance (host side, before the device
-        call).
+        call). ``win_lo``/``upto`` are the global sample bounds of this
+        step's model window.
 
         Pending streams freeze their gain from this (their first) window:
-        mean |y| over the window's emit-onward samples — the reference's
-        clip-wide estimate (audio_lib.py:125-126) restricted to what has
-        arrived. In running mode (the default), non-pending streams then
-        refine their gain to the mean |y| over everything the occupant has
-        pushed so far (global samples up to ``upto``; at flush that is the
-        whole clip, so the final window runs at EXACTLY the offline gain).
-        A gain change is a uniform dB shift of the mel-dB map, so the
-        carried statistics are re-expressed exactly (modulo the amin floor,
-        the module docstring's approximation class): raw c0 moves by
-        ``delta_dB * Σ dct[0,:]`` and the running mel max by ``delta_dB``.
-        An external ``input_gain`` pins every stream's gain (c0 capture,
-        driven by the same pending flags on device, still happens)."""
+        mean |y| over the occupant's samples in [max(win_lo, audio_from),
+        upto) — the reference's clip-wide estimate (audio_lib.py:125-126)
+        restricted to what has arrived, over the WHOLE window (context +
+        emit + lookahead), never including a reset slot's zeroed
+        pre-occupant span. With ``first_gain="buffered"`` the estimate
+        extends to everything the occupant has pushed by this step
+        (trading push-granularity invariance for a closer match to the
+        offline estimate). In running mode (the default), non-pending
+        streams then refine their gain to the mean |y| over everything the
+        occupant has pushed so far (at flush that is the whole clip, so the
+        final window runs at EXACTLY the offline gain). A gain change is a
+        uniform dB shift of the mel-dB map, so the carried statistics are
+        re-expressed exactly (modulo the amin floor, the module docstring's
+        approximation class): raw c0 moves by ``delta_dB * Σ dct[0,:]`` and
+        the running mel max by ``delta_dB``. An external ``input_gain``
+        pins every stream's gain (c0 capture, driven by the same pending
+        flags on device, still happens)."""
         if self._ext_gain:
             return
-        if self._running and upto > self._g_upto:
-            seg = self._buf[:, self._g_upto - self._buf_start:
-                            upto - self._buf_start]
-            self._g_sum += np.abs(seg).sum(axis=1, dtype=np.float64)
-            self._g_cnt += seg.shape[1]
-            self._g_upto = upto
+        if self._running:
+            for i in range(self.B):
+                u = int(self._g_upto[i])
+                if upto > u:
+                    seg = np.abs(self._buf[i, u - self._buf_start:
+                                           upto - self._buf_start])
+                    self._g_sum[i] += seg.sum(dtype=np.float64)
+                    self._g_cnt[i] += seg.size
+                    self._g_upto[i] = upto
         if self._pending.any():
-            m = np.maximum(np.mean(np.abs(y[:, start:]), axis=1), _MIN_MEAN)
-            est = (self.feat.mean_abs_amp_norm / m).astype(np.float32)
-            self._gain = np.where(self._pending, est, self._gain)
-            if self._running:
-                # the occupant's accumulation domain starts at its first
-                # window's emit start — overwrite whatever the global
-                # increment above put in this slot
-                self._g_sum = np.where(
-                    self._pending,
-                    np.abs(y[:, start:]).sum(axis=1, dtype=np.float64),
-                    self._g_sum)
-                self._g_cnt = np.where(self._pending, y.shape[1] - start,
-                                       self._g_cnt)
+            hi = max(self._n_samples, upto) \
+                if self.first_gain == "buffered" else upto
+            for i in np.flatnonzero(self._pending):
+                lo = max(win_lo, int(self._audio_from[i]), self._buf_start)
+                seg = np.abs(self._buf[i, lo - self._buf_start:
+                                       hi - self._buf_start])
+                m = max(float(seg.mean()) if seg.size else 0.0, _MIN_MEAN)
+                self._gain[i] = self.feat.mean_abs_amp_norm / m
+                if self._running:
+                    # the occupant's accumulation domain starts where its
+                    # audio does — overwrite whatever the increment above
+                    # put in this slot, and record the span so later
+                    # increments never double-count or shrink it
+                    self._g_sum[i] = float(seg.sum(dtype=np.float64))
+                    self._g_cnt[i] = seg.size
+                    self._g_upto[i] = hi
         if self._running:
             upd = (~self._pending) & (self._g_cnt > 0)
             if upd.any():
@@ -401,7 +447,7 @@ class StreamingCloner:
         v1 = f1 + M
 
         y = self._buf[:, a * hop - self._buf_start : e * hop - self._buf_start]
-        self._update_gains(y, (f0 - a) * hop, e * hop)
+        self._update_gains(a * hop, e * hop)
 
         fwd = self.p._jitted(
             "stream_fwd", (y.shape, v0 - a, v1 - a, f0 - a, self._mesh_key),
@@ -461,19 +507,40 @@ class StreamingCloner:
         half = feat.n_fft_ // 2
         L = self._n_samples
 
-        # offline-identical padded sample stream for frames [a, total):
-        # padded[i] corresponds to global sample i with single reflection
-        # at both true clip edges (np.pad mode='reflect' semantics)
+        # offline-identical padded sample stream for frames [a, total): the
+        # offline front-end pre-emphasizes the WHOLE clip and then
+        # reflect-pads the pre-emphasized samples (ops/features.mfcc_input:
+        # preemphasis before the center=True STFT), so do the same here —
+        # pre-emphasize on host across the arrived stream (exact: the
+        # buffer retains an n_fft margin, so every needed x[i] has its
+        # y[i-1]), THEN reflect-index with np.pad mode='reflect' semantics
+        # (period-2(L-1) folding handles pads longer than the clip too).
+        # Gain commutes with both (linear), so it still applies on device.
+        c = feat.pre_emphasis
+        x = self._buf.copy()
+        if c != 0.0:
+            x[:, 1:] -= c * self._buf[:, :-1]
+            # x[:, 0] is only exact at the true clip start (x[0] = y[0]);
+            # for a trimmed buffer the frames [a, total) never reach back
+            # to buf_start (the keep_from margin guarantees it)
+            assert self._buf_start == 0 or a * hop - half > self._buf_start, \
+                (a, hop, half, self._buf_start)
         idx = np.arange(a * hop - half, (total - 1) * hop - half + feat.n_fft_)
-        idx = np.abs(idx)
-        idx = np.where(idx > L - 1, np.maximum(2 * (L - 1) - idx, 0), idx)
-        y_ext = self._buf[:, idx - self._buf_start]
+        if L > 1:
+            per = 2 * (L - 1)
+            m = np.mod(idx, per)
+            idx = np.minimum(m, per - m)
+        else:
+            idx = np.zeros_like(idx)
+        y_ext = x[:, idx - self._buf_start]
 
-        self._update_gains(self._buf, 0, self._n_samples)
+        self._update_gains(self._buf_start, self._n_samples)
 
-        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, f0 - a, self._mesh_key),
+        fwd = self.p._jitted("stream_fwd_end", (y_ext.shape, W_end, f0 - a,
+                                                "preemph", self._mesh_key),
                              lambda: self._build_fwd(y_ext.shape[1], 0, W_end,
-                                                     f0 - a, centered=False))
+                                                     f0 - a, centered=False,
+                                                     pre_emphasized=True))
         stft_full, mel_max, mel0 = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
                                      jnp.asarray(self._m0),
                                      jnp.asarray(self._pending),
@@ -577,7 +644,7 @@ class StreamingCloner:
                        out_shardings=out)
 
     def _build_fwd(self, n_samples: int, v_lo: int, v_hi: int, c0_pos: int,
-                   centered: bool = True):
+                   centered: bool = True, pre_emphasized: bool = False):
         """(features + encoder + decoder) for one window of B streams ->
         stft_pred slice [B, v_hi-v_lo, n_stft].
 
@@ -610,7 +677,8 @@ class StreamingCloner:
 
         def features(y, gain, mel0_in, pending, mel_max_in):
             y = y * gain
-            y = preemphasis(y, feat.pre_emphasis, xp=jnp)
+            if not pre_emphasized:  # the flush ships host-pre-emphasized audio
+                y = preemphasis(y, feat.pre_emphasis, xp=jnp)
             F = jnp.abs(stft(y, n_fft=feat.n_fft_, hop_length=feat.hop_length,
                              win_length=feat.win_length, window=feat.window,
                              center=centered, xp=jnp))

@@ -281,3 +281,31 @@ def test_streaming_gl_unroll_invariance():  # identity is in the fast set
     pu = dataclasses.replace(p, gl_unroll=64)
     np.testing.assert_array_equal(base,
                                   StreamingCloner(pu, **kw).convert_all(wav))
+
+
+def test_streaming_first_gain_buffered_whole_clip():
+    """first_gain='buffered': when the whole clip is pushed before the first
+    read, the first-window gain freeze sees every sample — so the frozen
+    gain IS the offline clip-wide estimate (audio_lib.py:125-126), exactly.
+    Measured at production geometry this takes uncalibrated streaming from
+    max-abs 2.37e-3 to 1.03e-4 vs the exact forward (docs/DESIGN.md); here
+    the gain identity is pinned on the tiny pipeline."""
+    p = _tiny_pipeline()
+    wav = _speechy_wav(2.0, seed=9)
+    s = StreamingCloner(p, chunk_frames=64, context_frames=64,
+                        lookahead_frames=48, margin_frames=8,
+                        gain_mode="frozen", first_gain="buffered")
+    s.push(wav)
+    g_off = p.feat_cfg.mean_abs_amp_norm / np.mean(np.abs(wav))
+    np.testing.assert_allclose(s._gain, g_off, rtol=1e-6)
+    s.flush()
+
+    # default scope stays push-granularity invariant (freeze over the first
+    # model window only) — a different, smaller span
+    s2 = StreamingCloner(p, chunk_frames=64, context_frames=64,
+                         lookahead_frames=48, margin_frames=8,
+                         gain_mode="frozen", first_gain="window")
+    s2.push(wav)
+    w_end = s2.min_input_frames * p.feat_cfg.hop_length
+    g_win = p.feat_cfg.mean_abs_amp_norm / np.mean(np.abs(wav[:w_end]))
+    np.testing.assert_allclose(s2._gain, g_win, rtol=1e-6)

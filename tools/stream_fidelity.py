@@ -68,6 +68,15 @@ def main(argv=None):
                     help="uncalibrated gain handling: 'running' converges "
                          "to the offline clip-wide estimate; 'frozen' keeps "
                          "the first window's (the round-3 behavior)")
+    ap.add_argument("--first-gain", choices=("window", "buffered"),
+                    default="window",
+                    help="scope of the first-window gain estimate: 'window' "
+                         "= the first model window (push-invariant), "
+                         "'buffered' = everything buffered at first-step "
+                         "time (closer to offline; push-size dependent)")
+    ap.add_argument("--block", type=int, default=16000,
+                    help="push block size in samples (matters for "
+                         "--first-gain buffered; 0 = whole clip at once)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -163,11 +172,12 @@ def main(argv=None):
         s = StreamingCloner(pipe, chunk_frames=args.chunk, context_frames=lc,
                             lookahead_frames=rc, margin_frames=args.margin,
                             input_gain=gain, gain_mode=args.gain_mode,
-                            collect_debug=True)
-        out = s.convert_all(wav)
+                            first_gain=args.first_gain, collect_debug=True)
+        out = s.convert_all(wav, block=args.block or wav.size)
         streamed = np.concatenate(s.debug_stft, axis=0)
         e_stream = spectral_err(out, F_target, feat_cfg)
-        gdesc = "calibrated" if gain is not None else args.gain_mode
+        gdesc = "calibrated" if gain is not None else (
+            f"{args.gain_mode}/{args.first_gain}")
         print(f"streaming context={lc} lookahead={rc} gain={gdesc} "
               f"(algorithmic latency {s.latency_seconds:.2f}s):")
         print(stats("stream stft vs exact", streamed, ref_stft))
