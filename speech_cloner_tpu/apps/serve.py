@@ -35,10 +35,15 @@ not let a slow request block ingest or queue unboundedly):
     exceeds S seconds (the device call itself cannot be cancelled, so the
     worker finishes it and reports a late record with "late": true — but the
     ingest loop and queue stay live throughout);
-  - --batch-max N: when a burst queues up, the worker drains up to N
-    same-bucket requests and converts them in ONE device program (model
-    forward over all clips' windows at once, vmapped Griffin-Lim, per-clip
-    peak norm) — under load, throughput rises while the chip stays serial;
+  - --batch-max N: when a burst queues up, the worker drains the queue,
+    groups by window bucket, and converts up to N same-bucket requests in
+    ONE device program (model forward over all clips' windows at once,
+    vmapped Griffin-Lim, per-clip peak norm) — under load, throughput rises
+    while the chip stays serial. Gated on backlog (--batch-backlog): at
+    trickle load every request still converts alone at the unbatched
+    latency; batching engages only when the queue shows the server falling
+    behind (unconditional batching measurably traded 2.7x p50 latency for
+    +4% throughput — docs/DESIGN.md serving section);
   - a malformed stdin line (bad JSON / missing "input") produces an error
     record, never a crash; undecodable audio files are likewise reported
     and skipped (watch mode marks them done so they are not retried forever).
@@ -122,6 +127,15 @@ def main(argv=None):
                          "(vmapped Griffin-Lim; power-of-two chunks bound "
                          "the compiled shape set). 1 = off. Ignored with "
                          "--verify-ckpt.")
+    ap.add_argument("--batch-backlog", type=int, default=2,
+                    help="batch only when >= N further requests are already "
+                         "queued behind the one being dequeued — at trickle "
+                         "load every request converts alone (unbatched p50 "
+                         "latency), batching engages only when the server "
+                         "is falling behind (measured: unconditional "
+                         "batching cost 2.7x p50 latency for +4% throughput "
+                         "at a 50-request burst). 0 = always batch "
+                         "(round-4 behavior).")
     ap.add_argument("--timeout", type=float, default=0.0,
                     help="per-request seconds before an error record is "
                          "emitted (0 = no timeout)")
@@ -274,8 +288,11 @@ def main(argv=None):
             except queue_mod.Empty:
                 continue
             items = [first]
-            if batching:
-                # drain the whole (bounded) queue, not just batch_max items:
+            if batching and work.qsize() >= args.batch_backlog:
+                # backlog gate: only drain-and-batch when the queue shows
+                # the server is falling behind; a trickle request converts
+                # alone at the unbatched latency. When engaged, drain the
+                # whole (bounded) queue, not just batch_max items:
                 # process_batched groups by window bucket and chunks each
                 # group to batch_max, so a mixed-length burst still batches
                 # per bucket — draining only batch_max items from a

@@ -418,6 +418,9 @@ def test_serve_app_batched(serve_models, arctic_root, tmp_path, monkeypatch, cap
                 "--enc-cfg", m["enc_cfg"], "--dec-cfg", m["dec_cfg"],
                 "--ds-cfg", m["ds_cfg"], "--output-dir", str(tmp_path),
                 "--n-iter", "4", "--max-requests", "3", "--batch-max", "2",
+                # backlog gate off: this test pins the DRAIN semantics for a
+                # queued burst, independent of worker/ingest thread timing
+                "--batch-backlog", "0",
                 "--warm", "1", "--queue-depth", "8"])
     recs = [json.loads(l) for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")]
@@ -463,6 +466,7 @@ def test_serve_app_batched_mixed_buckets(serve_models, tmp_path, monkeypatch,
                 # batch=1 everywhere; the fixed drain takes the whole queue
                 # -> 4 per bucket -> chunks of 2
                 "--n-iter", "4", "--max-requests", "8", "--batch-max", "2",
+                "--batch-backlog", "0",
                 "--warm", "1,2", "--queue-depth", "16"])
     recs = [json.loads(l) for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")]
@@ -510,3 +514,60 @@ def test_stream_app(serve_models, tmp_path):
 
     with wave.open(out) as w:
         assert w.getnframes() == (wav.size // 80 + 1) * 80
+
+
+def test_serve_app_backlog_gate(serve_models, tmp_path):
+    """--batch-backlog (default 2): with an idle queue — one request in
+    flight at a time — every request converts ALONE (batch == 1) even with
+    --batch-max enabled; batching engages only under a backlog. This is the
+    adaptive policy the round-4 serving bench motivated (unconditional
+    batching traded 2.7x p50 latency for +4% throughput at trickle-ish
+    load). Paced against a live subprocess so the queue is provably empty
+    at each dequeue."""
+    import queue as queue_mod
+    import subprocess
+    import sys
+    import threading
+
+    from speech_cloner_tpu.data.audio_io import write_riff_wav
+
+    m = serve_models
+    p = str(tmp_path / "trickle.wav")
+    write_riff_wav(p, np.random.default_rng(0).standard_normal(16000)
+                   .astype(np.float32), 16000, norm=True)
+    cmd = [sys.executable, "-m", "speech_cloner_tpu.apps.serve",
+           "--enc-ckpt", m["enc_path"], "--dec-ckpt", m["dec_path"],
+           "--enc-cfg", m["enc_cfg"], "--dec-cfg", m["dec_cfg"],
+           "--ds-cfg", m["ds_cfg"], "--output-dir", str(tmp_path / "out"),
+           "--n-iter", "4", "--max-requests", "3", "--batch-max", "2",
+           "--warm", "1"]
+    env = {**os.environ, "SCL_PLATFORM": "cpu"}
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE, text=True, env=env)
+    lines: queue_mod.Queue = queue_mod.Queue()
+    threading.Thread(target=lambda: [lines.put(l) for l in proc.stdout],
+                     daemon=True).start()
+
+    def next_rec(timeout=600):
+        while True:  # skip non-record stdout (loader prints, warnings)
+            line = lines.get(timeout=timeout).strip()
+            if line.startswith("{"):
+                return json.loads(line)
+
+    try:
+        # two warm records: the 1 s bucket plus its batch-2 variant
+        seen_warm = 0
+        while seen_warm < 2:
+            if "warmed_s" in next_rec():
+                seen_warm += 1
+        recs = []
+        for _ in range(3):
+            proc.stdin.write(p + "\n")
+            proc.stdin.flush()
+            recs.append(next_rec())  # wait for THIS request's result
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    finally:
+        proc.kill()
+    assert [r.get("batch") for r in recs] == [1, 1, 1], recs
+    assert all("error" not in r for r in recs)

@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--batch-max", type=int, default=1,
                     help="serve --batch-max: opportunistic same-bucket "
                          "request batching (one device program per chunk)")
+    ap.add_argument("--batch-backlog", type=int, default=2,
+                    help="serve --batch-backlog: batch only when this many "
+                         "further requests are queued (0 = always batch)")
+    ap.add_argument("--arrival", choices=("burst", "trickle"), default="burst",
+                    help="burst = pipe all requests at once; trickle = one "
+                         "request every 1/--rate seconds")
+    ap.add_argument("--rate", type=float, default=2.0,
+                    help="trickle arrival rate (requests/second)")
     ap.add_argument("--queue-depth", type=int, default=0,
                     help="serve --queue-depth; 0 = auto "
                          "(4 buckets x batch-max so a burst can fill every "
@@ -72,6 +80,7 @@ def main():
            "--n-iter", str(args.n_iter),
            "--warm", args.durations,
            "--batch-max", str(args.batch_max),
+           "--batch-backlog", str(args.batch_backlog),
            "--queue-depth",
            str(args.queue_depth or max(8, len(durs) * args.batch_max)),
            "--max-requests", str(args.n)]
@@ -87,12 +96,50 @@ def main():
     env.setdefault("SCL_COMPILE_CACHE", "1")
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                             text=True, env=env)
-    stdin_payload = "".join(p + "\n" for p, _ in reqs)
+
+    # feed requests and stamp each send time so records can be turned into
+    # true submit->done latencies (a batched/queued request's "wall_s" only
+    # covers its conversion chunk, not its wait)
+    send_ts: dict[str, float] = {}
+    out_lines: list[str] = []
+
+    def reader():
+        for line in proc.stdout:
+            out_lines.append(line)
+
+    import threading
+
+    rt = threading.Thread(target=reader, daemon=True)
+    rt.start()
     try:
-        out, _ = proc.communicate(stdin_payload, timeout=args.timeout)
+        if args.arrival == "trickle":
+            # wait for warming to finish before the clock-paced sends, or
+            # the first requests queue behind compiles and measure nothing
+            deadline = time.perf_counter() + args.timeout
+            n_warm_expected = len(durs)
+            if args.batch_max > 1:
+                b = 2
+                while b <= args.batch_max:
+                    n_warm_expected += len(durs)
+                    b *= 2
+            while sum('"warmed_s"' in ln for ln in out_lines) < n_warm_expected:
+                if time.perf_counter() > deadline:
+                    proc.kill()
+                    raise SystemExit("serve_bench: warmup exceeded budget")
+                time.sleep(0.2)
+        for p, _ in reqs:
+            send_ts[p] = time.time()
+            proc.stdin.write(p + "\n")
+            proc.stdin.flush()
+            if args.arrival == "trickle":
+                time.sleep(1.0 / args.rate)
+        proc.stdin.close()
+        proc.wait(timeout=args.timeout)
     except subprocess.TimeoutExpired:
         proc.kill()
         raise SystemExit("serve_bench: server exceeded the wall budget")
+    rt.join(timeout=10)
+    out = "".join(out_lines)
     total_wall = time.perf_counter() - t0
 
     warm, recs, errors = [], [], []
@@ -118,6 +165,10 @@ def main():
 
     rtfs = np.asarray([r["rtf"] for r in recs])
     walls = np.asarray([r["wall_s"] for r in recs])
+    # true submit->done latency (queue wait + conversion) from the bench's
+    # send stamps and the server's record timestamps
+    lats = np.asarray([r["ts"] - send_ts[r["input"]]
+                       for r in recs if r.get("input") in send_ts])
     audio_s = float(sum(r["duration_s"] for r in recs))
     compile_s = float(sum(w["compile_s"] for w in warm))
     # steady serving window from the server's own record timestamps: last
@@ -149,7 +200,12 @@ def main():
         "steady_window_s": round(steady_window_s, 2),
         "wallclock_throughput_x_realtime":
             round(audio_s / steady_window_s, 1),
+        "latency_p50_s": (float(np.percentile(lats, 50)) if lats.size else None),
+        "latency_p95_s": (float(np.percentile(lats, 95)) if lats.size else None),
+        "arrival": args.arrival,
+        "rate_rps": args.rate if args.arrival == "trickle" else None,
         "batch_max": args.batch_max,
+        "batch_backlog": args.batch_backlog,
         "n_errors": len(errors),
         "n_iter": args.n_iter,
     }
