@@ -54,6 +54,13 @@ def main(argv=None):
                     help="also score fully-vocoded validation (always on when "
                          "--vocoded-augment > 0); lets an augment-0 control "
                          "report both domains for an A/B comparison")
+    ap.add_argument("--time-fold", type=int, default=1,
+                    help="fold k consecutive time frames into conv input "
+                         "channels ([400,201,1] -> [400/k,201,k]) — a "
+                         "TPU-first alternative to the reference's C_in=1 "
+                         "shape pathology (26 of 29 ms is conv HBM "
+                         "traffic). A different model; 1 = reference "
+                         "architecture. Measured A/B in docs/DESIGN.md.")
     ap.add_argument("--keep-ckpts", type=int, default=5,
                     help="retain only the newest N checkpoints (best-weight "
                          "saves are ~0.5 GB each at production geometry and "
@@ -69,7 +76,8 @@ def main(argv=None):
 
     n_spk = ds.prepare_speaker_dicts(None)
     cfg = spk_m.SpeakerIdConfig(n_timesteps=ds.n_timesteps,
-                                n_features=feat_cfg.n_stft, n_output=n_spk)
+                                n_features=feat_cfg.n_stft, n_output=n_spk,
+                                time_fold=args.time_fold)
     print(f" n_speakers={n_spk}")
 
     split = {"split_key": "spk_id", "split_props_v": (0.8, 0.9)}
@@ -112,7 +120,8 @@ def main(argv=None):
     ckpt = Checkpointer(args.model_path, "speaker_id")
     # snapshot the speaker-class mapping so verify_conversion can name classes
     cfg_snapshot = {"n_timesteps": cfg.n_timesteps, "n_features": cfg.n_features,
-                    "n_output": cfg.n_output, "spk_id_v": list(ds.all_spk_id_v)}
+                    "n_output": cfg.n_output, "time_fold": cfg.time_fold,
+                    "spk_id_v": list(ds.all_spk_id_v)}
 
     # auto-resume from the latest checkpoint (same contract as train/loop.py:
     # the reference required a manual restore(), encoder.py:238-253); the

