@@ -97,11 +97,33 @@ def main():
         # the output (int16 PCM — the file/wire format — at half the bytes)
         return np.asarray(wav_pcm16), mel_pred
 
+    # per-program compile accounting + persistent-cache hit/miss evidence:
+    # the r4 driver run paid 832 s "compile" with compile_cache=true — the
+    # split below says WHICH program (predict embeds ~70 MB of weights as
+    # constants; its serialized executable is ~280 MB) and the cache logs
+    # say whether that was a key miss or a slow deserialize through the
+    # remote-tunnel runtime
+    import logging
+
+    logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
+    logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
+    h = logging.StreamHandler(sys.stderr)
+    h.setLevel(logging.DEBUG)
+    for name in ("jax._src.compilation_cache", "jax._src.compiler"):
+        logging.getLogger(name).addHandler(h)
+    jax.config.update("jax_explain_cache_misses", True)
+
     log("compiling...")
     t0 = time.perf_counter()
-    out = run(wav_p, key)
-    compile_parity_s = time.perf_counter() - t0
-    log(f"compile+first run (parity-200): {compile_parity_s:.2f}s")
+    mel_pred, stft_pred, _ = predict_fn(wav_p)
+    jax.block_until_ready(stft_pred)
+    compile_predict_s = time.perf_counter() - t0
+    log(f"compile+first run (predict): {compile_predict_s:.2f}s")
+    t0 = time.perf_counter()
+    np.asarray(vocode_fn(stft_pred, key))
+    compile_vocode_s = time.perf_counter() - t0
+    log(f"compile+first run (vocode-200): {compile_vocode_s:.2f}s")
+    compile_parity_s = compile_predict_s + compile_vocode_s
     t0 = time.perf_counter()
     out_f = run(wav_p, key, fast=True)
     compile_fast_s = time.perf_counter() - t0
@@ -142,6 +164,8 @@ def main():
             "backend": jax.default_backend(),
             "encoder_weights": "enc_14_ckpt" if enc_ckpt else "random",
             "compile_parity_s": round(compile_parity_s, 1),
+            "compile_predict_s": round(compile_predict_s, 1),
+            "compile_vocode_s": round(compile_vocode_s, 1),
             "compile_fast_s": round(compile_fast_s, 1),
             "compile_cache": bool(cache_dir),
         },
