@@ -85,12 +85,18 @@ def main():
     # convergence table) — published alongside the 200-iter parity number
     pipe_fast = dataclasses.replace(pipe, n_iter=25, gl_momentum=0.99)
 
-    predict_fn = jax.jit(pipe.device_predict)
+    # weights as runtime ARGUMENTS, not closed-over constants: the r4 bench
+    # embedded ~70 MB of f32 into the predict HLO (a ~280 MB executable whose
+    # persistent-cache hits were erratic — BENCH_r04 paid 832 s with
+    # compile_cache=true). Parameterized, the program is small and its cache
+    # entry is checkpoint-independent. See ClonePipeline.device_params.
+    dev_params = pipe.device_params()
+    predict_fn = jax.jit(lambda p, w: pipe.device_predict(w, p))
     vocode_fn = jax.jit(pipe.device_vocode_pcm16)
     vocode_fast_fn = jax.jit(pipe_fast.device_vocode_pcm16)
 
     def run(w, k, fast=False):
-        mel_pred, stft_pred, ppg = predict_fn(w)
+        mel_pred, stft_pred, ppg = predict_fn(dev_params, w)
         wav_pcm16 = (vocode_fast_fn if fast else vocode_fn)(stft_pred, k)
         # hard host fetch: on this remote-tunnel runtime block_until_ready
         # can return before completion, so timing must include materializing
@@ -115,7 +121,7 @@ def main():
 
     log("compiling...")
     t0 = time.perf_counter()
-    mel_pred, stft_pred, _ = predict_fn(wav_p)
+    mel_pred, stft_pred, _ = predict_fn(dev_params, wav_p)
     jax.block_until_ready(stft_pred)
     compile_predict_s = time.perf_counter() - t0
     log(f"compile+first run (predict): {compile_predict_s:.2f}s")

@@ -60,6 +60,26 @@ class ClonePipeline:
     def __post_init__(self):
         from collections import OrderedDict
         object.__setattr__(self, "_jit_cache", OrderedDict())
+        object.__setattr__(self, "_dev_params", None)
+
+    def device_params(self):
+        """The four weight trees as ONE device-resident pytree, for passing
+        to the parameterized jit programs as runtime arguments.
+
+        Weights-as-arguments (not closed-over constants) is what keeps the
+        compiled executable small: closing over the trees bakes ~70 MB of
+        f32 into the HLO as literals, which the r4 bench measured as a
+        ~280 MB serialized executable with erratic persistent-cache behavior
+        (BENCH_r04 compile_parity_s 832 s with compile_cache=true). As
+        arguments, the program is weight-shape-polymorphic-in-value: same
+        HLO for any checkpoint, small cache entries, stable hits.
+        """
+        dp = self._dev_params
+        if dp is None:
+            dp = jax.device_put((self.enc_params, self.enc_state,
+                                 self.dec_params, self.dec_state))
+            object.__setattr__(self, "_dev_params", dp)
+        return dp
 
     def _jitted(self, kind: str, shape_key, build):
         cache = self._jit_cache
@@ -83,24 +103,32 @@ class ClonePipeline:
             lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a,
             tree)
 
-    def forward_windows(self, mfcc_windows):
+    def forward_windows(self, mfcc_windows, params=None):
         """[K, T, E] MFCC windows -> (y_mel [K,T,80], y_stft [K,T,201], ppg).
 
         With compute_dtype=bfloat16, the model matmuls run in bf16 (MXU's
         native precision) and the outputs are cast back to f32 for the
         vocoder; softmax posteriors are computed in f32 either way.
+
+        `params`, when given, is the `device_params()` 4-tuple passed as a
+        traced jit argument — see that docstring for why the host APIs
+        compile the parameterized form instead of closing over the weights.
         """
+        enc_params, enc_state, dec_params, dec_state = (
+            params if params is not None
+            else (self.enc_params, self.enc_state,
+                  self.dec_params, self.dec_state))
         x = mfcc_windows if self.compute_dtype is None \
             else mfcc_windows.astype(self.compute_dtype)
-        logits, _ = enc_m.apply(self._cast(self.enc_params), self._cast(self.enc_state),
+        logits, _ = enc_m.apply(self._cast(enc_params), self._cast(enc_state),
                                 x, cfg=self.enc_cfg, train=False)
         ppg = enc_m.posteriors(logits.astype(jnp.float32))
         ppg_in = ppg if self.compute_dtype is None else ppg.astype(self.compute_dtype)
-        y_mel, y_stft, _ = dec_m.apply(self._cast(self.dec_params), self._cast(self.dec_state),
+        y_mel, y_stft, _ = dec_m.apply(self._cast(dec_params), self._cast(dec_state),
                                        ppg_in, cfg=self.dec_cfg, train=False)
         return y_mel.astype(jnp.float32), y_stft.astype(jnp.float32), ppg
 
-    def device_predict(self, wav):
+    def device_predict(self, wav, params=None):
         """Padded wav [L] -> (mel_pred, stft_pred, ppg): features + encoder +
         decoder + two-pass stitch, one device program."""
         T = self.enc_cfg.n_timesteps
@@ -114,12 +142,12 @@ class ClonePipeline:
             # two half-offset passes stitched by center halves (test.py:123-132)
             y1 = shifted_window_stack(mfcc, T)
             both = jnp.concatenate([y0, y1], axis=0)
-            mel_b, stft_b, ppg_b = self.forward_windows(both)
+            mel_b, stft_b, ppg_b = self.forward_windows(both, params)
             mel_pred = compound(mel_b[:K], mel_b[K:])
             stft_pred = compound(stft_b[:K], stft_b[K:])
             ppg = compound(ppg_b[:K], ppg_b[K:])  # test.py:132 stitches phn too
         else:
-            mel_w, stft_w, ppg_w = self.forward_windows(y0)
+            mel_w, stft_w, ppg_w = self.forward_windows(y0, params)
             mel_pred = stitch_single(mel_w)
             stft_pred = stitch_single(stft_w)
             ppg = ppg_w.reshape(K * T, -1)
@@ -159,7 +187,7 @@ class ClonePipeline:
 
     # ----------------------------------------------------------- batching ---
 
-    def device_convert_batch(self, wavs, key):
+    def device_convert_batch(self, wavs, key, params=None):
         """Serving path: convert B equal-length clips concurrently.
 
         The model forward flattens all clips' windows into one batch; the
@@ -167,7 +195,7 @@ class ClonePipeline:
         the whole request batch (the reference could only loop clips on host).
         wavs: [B, L] -> (wav_pred [B, ~L], mel [B, T', 80], stft [B, T', 201]).
         """
-        mel, stft, _ = jax.vmap(self.device_predict)(wavs)
+        mel, stft, _ = jax.vmap(lambda w: self.device_predict(w, params))(wavs)
         keys = jax.random.split(key, wavs.shape[0])
         wav_pred = jax.vmap(self.device_vocode)(stft, keys)
         return wav_pred, mel, stft
@@ -231,7 +259,7 @@ class ClonePipeline:
         wav_pred = np.asarray(wav_pred)[:frames * self.feat_cfg.hop_length]
         return wav_pred, np.asarray(mel[0, :frames]), np.asarray(stft[0, :frames])
 
-    def device_convert_batch_pcm16(self, wavs, key):
+    def device_convert_batch_pcm16(self, wavs, key, params=None):
         """Batched serving fast path: [B, L] waveforms -> [B, ~L] int16 PCM.
 
         One device program converts the whole batch — model forward over all
@@ -240,7 +268,7 @@ class ClonePipeline:
         the device half of the serve worker's opportunistic request batching
         (the reference's test.py could only convert clips one at a time).
         """
-        _, stft, _ = jax.vmap(self.device_predict)(wavs)
+        _, stft, _ = jax.vmap(lambda w: self.device_predict(w, params))(wavs)
         keys = jax.random.split(key, wavs.shape[0])
         return jax.vmap(self.device_vocode_pcm16)(stft, keys)
 
@@ -257,9 +285,12 @@ class ClonePipeline:
         stacked = np.stack([
             np.pad(np.asarray(w, np.float32), (0, pad_to - np.shape(w)[0]))
             for w in wavs])
-        fn = self._jitted("batch_pcm16", stacked.shape,
-                          lambda: jax.jit(self.device_convert_batch_pcm16))
-        out = np.asarray(fn(jnp.asarray(stacked), jax.random.PRNGKey(seed)))
+        fn = self._jitted(
+            "batch_pcm16", stacked.shape,
+            lambda: jax.jit(lambda p, w, k:
+                            self.device_convert_batch_pcm16(w, k, p)))
+        out = np.asarray(fn(self.device_params(), jnp.asarray(stacked),
+                            jax.random.PRNGKey(seed)))
         return list(out)
 
     def convert_batch(self, wavs, seed: int = 0):
@@ -271,7 +302,8 @@ class ClonePipeline:
             pad = spw - wavs.shape[1]
         wavs = np.pad(wavs, ((0, 0), (0, pad)))
         fn = _jitted_batch(self, wavs.shape)
-        wav_pred, mel, stft = fn(jnp.asarray(wavs), jax.random.PRNGKey(seed))
+        wav_pred, mel, stft = fn(self.device_params(), jnp.asarray(wavs),
+                                 jax.random.PRNGKey(seed))
         return np.asarray(wav_pred), np.asarray(mel), np.asarray(stft)
 
     # -------------------------------------------------------------- host ---
@@ -293,7 +325,8 @@ class ClonePipeline:
         wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
 
         predict_fn, vocode_fn = _jitted_stages(self, wav_p.shape[0])
-        mel_pred, stft_pred, ppg = predict_fn(jnp.asarray(wav_p))
+        mel_pred, stft_pred, ppg = predict_fn(self.device_params(),
+                                              jnp.asarray(wav_p))
         wav_pred = vocode_fn(stft_pred, jax.random.PRNGKey(seed))
         return (np.asarray(wav_pred), np.asarray(mel_pred),
                 np.asarray(stft_pred), np.asarray(ppg))
@@ -314,20 +347,23 @@ class ClonePipeline:
         wav_p = np.pad(np.asarray(wav, np.float32), (0, pad))
         predict_fn, vocode_fn = self._jitted(
             "pcm16", wav_p.shape[0],
-            lambda: (jax.jit(self.device_predict),
+            lambda: (jax.jit(lambda p, w: self.device_predict(w, p)),
                      jax.jit(self.device_vocode_pcm16)))
-        _, stft_pred, _ = predict_fn(jnp.asarray(wav_p))
+        _, stft_pred, _ = predict_fn(self.device_params(), jnp.asarray(wav_p))
         return np.asarray(vocode_fn(stft_pred, jax.random.PRNGKey(seed)))
 
 
 def _jitted_batch(p: ClonePipeline, shape):
-    return p._jitted("batch", shape, lambda: jax.jit(p.device_convert_batch))
+    return p._jitted(
+        "batch", shape,
+        lambda: jax.jit(lambda pr, w, k: p.device_convert_batch(w, k, pr)))
 
 
 def _jitted_stages(p: ClonePipeline, length: int):
-    """Two compiled programs (predict, vocode) per length bucket."""
+    """Two compiled programs (predict, vocode) per length bucket; predict
+    takes the weights as runtime arguments (see device_params)."""
     return p._jitted("stages", length,
-                     lambda: (jax.jit(p.device_predict),
+                     lambda: (jax.jit(lambda pr, w: p.device_predict(w, pr)),
                               jax.jit(p.device_vocode)))
 
 
