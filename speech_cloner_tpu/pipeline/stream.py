@@ -213,6 +213,7 @@ class StreamingCloner:
                 raise ValueError("stream mesh must be 1-D (streams axis only)")
         self._mesh_key = (None if mesh is None else
                           (mesh.axis_names, mesh.devices.shape))
+        self._dev_params = None   # lazy: weights placed for the step programs
 
         # per-stream RNG: stream i draws from seed+i, so a batched run is
         # draw-for-draw the B single-stream runs with seeds seed..seed+B-1
@@ -452,7 +453,8 @@ class StreamingCloner:
         fwd = self.p._jitted(
             "stream_fwd", (y.shape, v0 - a, v1 - a, f0 - a, self._mesh_key),
             lambda: self._build_fwd(y.shape[1], v0 - a, v1 - a, f0 - a))
-        stft_v, mel_max, mel0 = fwd(jnp.asarray(y), jnp.asarray(self._gain),
+        stft_v, mel_max, mel0 = fwd(self._params(),
+                                  jnp.asarray(y), jnp.asarray(self._gain),
                                   jnp.asarray(self._m0),
                                   jnp.asarray(self._pending),
                                   jnp.asarray(self._mel_max))
@@ -541,7 +543,8 @@ class StreamingCloner:
                              lambda: self._build_fwd(y_ext.shape[1], 0, W_end,
                                                      f0 - a, centered=False,
                                                      pre_emphasized=True))
-        stft_full, mel_max, mel0 = fwd(jnp.asarray(y_ext), jnp.asarray(self._gain),
+        stft_full, mel_max, mel0 = fwd(self._params(),
+                                     jnp.asarray(y_ext), jnp.asarray(self._gain),
                                      jnp.asarray(self._m0),
                                      jnp.asarray(self._pending),
                                      jnp.asarray(self._mel_max))
@@ -622,10 +625,31 @@ class StreamingCloner:
 
     # ----------------------------------------------------- device builders ---
 
+    def _params(self):
+        """The pipeline weights placed for the step programs — single-device
+        via the pipeline's cache, or replicated over the stream mesh. Passed
+        to the compiled programs as runtime arguments (not closed-over
+        constants) so the per-chunk executables stay small and persistent-
+        cache-stable — see ClonePipeline.device_params."""
+        if self._dev_params is None:
+            import jax
+
+            p = self.p
+            if self.mesh is None:
+                self._dev_params = p.device_params()
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._dev_params = jax.device_put(
+                    (p.enc_params, p.enc_state, p.dec_params, p.dec_state),
+                    NamedSharding(self.mesh, PartitionSpec()))
+        return self._dev_params
+
     def _jit_sharded(self, fn, in_ranks, out_ranks):
         """jit with the stream (batch) axis sharded over ``self.mesh`` —
         every input/output is stream-major, so rank alone determines its
-        NamedSharding. ``out_ranks`` may be a single int for a single-array
+        NamedSharding (a rank of ``None`` marks a replicated pytree, e.g.
+        the weights). ``out_ranks`` may be a single int for a single-array
         output. With no mesh this is plain jit (single chip)."""
         import jax
 
@@ -636,7 +660,9 @@ class StreamingCloner:
         ax = self.mesh.axis_names[0]
 
         def sh(r):
-            return NamedSharding(self.mesh, PartitionSpec(ax, *([None] * (r - 1))))
+            spec = (PartitionSpec() if r is None
+                    else PartitionSpec(ax, *([None] * (r - 1))))
+            return NamedSharding(self.mesh, spec)
 
         out = sh(out_ranks) if isinstance(out_ranks, int) \
             else tuple(sh(r) for r in out_ranks)
@@ -710,12 +736,12 @@ class StreamingCloner:
                 MFCC = jnp.clip(MFCC, -1.0, 1.0)
             return MFCC[:n_frames], mel_max, mel0
 
-        def fn(y, gain, mel0_in, pending, mel_max_in):
+        def fn(params, y, gain, mel0_in, pending, mel_max_in):
             mfcc, mel_max, mel0 = jax.vmap(features)(y, gain, mel0_in,
                                                      pending, mel_max_in)
-            _, stft_pred, _ = self.p.forward_windows(mfcc)
+            _, stft_pred, _ = self.p.forward_windows(mfcc, params)
             return stft_pred[:, v_lo:v_hi], mel_max, mel0
-        return self._jit_sharded(fn, (2, 1, 2, 1, 1), (3, 1, 2))
+        return self._jit_sharded(fn, (None, 2, 1, 2, 1, 1), (3, 1, 2))
 
     def _build_gl(self, tail_lo: int, tail: bool = True):
         """Griffin-Lim over one vocode region of B streams, seeded phase,
