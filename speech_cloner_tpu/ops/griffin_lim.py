@@ -119,6 +119,76 @@ def griffin_lim(
     return (wav, S) if return_stft else wav
 
 
+def griffin_lim_dyn(
+    stft_amp,
+    win_length: int,
+    hop_length: int,
+    num_iters,
+    n_fft: int | None = None,
+    window: str = "hann",
+    key=None,
+    init_phase=None,
+    momentum=0.0,
+    return_stft: bool = False,
+):
+    """`griffin_lim` with ``num_iters`` and ``momentum`` as TRACED runtime
+    values: one compiled executable serves every (iteration count, momentum)
+    quality setting.
+
+    Why this exists: the static form bakes the trip count into the program,
+    and on the axon remote runtime the first execution of a high-trip-count
+    ``fori_loop`` program is erratically slow even on a persistent-cache hit
+    (BENCH r5 probes: 199-trip parity vocoder 240-650 s after the hit, the
+    24-trip fast-GL program ~2 s — docs/ROUND5.md). A data-dependent
+    ``lax.while_loop`` cannot be unrolled or specialized on the count, so
+    parity-200 and fast-GL-25 share one small executable, warmed once at
+    n=2. Math is identical to `griffin_lim`: with momentum m the body is
+    ``P + m*(P - P_prev)``, and m == 0.0 reproduces the reference exactly
+    (``P + 0*(P - P_prev) == P`` elementwise, up to the sign of zeros, which
+    the downstream magnitude/normalize steps cannot observe).
+    """
+    if n_fft is None:
+        n_fft = win_length
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    stft_amp = stft_amp.astype(jnp.float32)
+    if init_phase is not None:
+        phase0 = jnp.asarray(init_phase, dtype=jnp.float32)
+    else:
+        phase0 = jnp.pi * jax.random.uniform(key, stft_amp.shape, dtype=jnp.float32)
+    S0 = stft_amp * jnp.exp(1j * phase0)
+    momentum = jnp.asarray(momentum, dtype=jnp.float32)
+
+    def project(S):
+        wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+                    window=window, xp=jnp)
+        return stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+                    window=window, xp=jnp)
+
+    def replace_magnitude(S):
+        mag = jnp.abs(S)
+        return stft_amp * (S / jnp.maximum(mag, jnp.finfo(jnp.float32).tiny))
+
+    n_body = jnp.maximum(jnp.asarray(num_iters, jnp.int32) - 1, 0)
+
+    def cond(carry):
+        i, _, _ = carry
+        return i < n_body
+
+    def body(carry):
+        i, S, P_prev = carry
+        P = project(S)
+        extrap = P + momentum * (P - P_prev)
+        return i + 1, replace_magnitude(extrap), P
+
+    _, S, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), S0, jnp.zeros_like(S0)))
+    wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+                window=window, xp=jnp)
+    return (wav, S) if return_stft else wav
+
+
 def from_power_to_wav(
     P,
     P_dB_norm_factor: float = 0.01,
@@ -144,6 +214,40 @@ def from_power_to_wav(
     F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
     y = griffin_lim(F, win_length, hop_length, num_iters=n_iter, n_fft=n_fft,
                     key=key, momentum=momentum, unroll=unroll)
+
+    if pre_emphasis != 0.0:
+        y = inv_preemphasis(y, pre_emphasis)
+
+    y = y * (mean_abs_amp_norm / jnp.mean(jnp.abs(y)))
+    return y
+
+
+def from_power_to_wav_dyn(
+    P,
+    n_iter,
+    momentum=0.0,
+    P_dB_norm_factor: float = 0.01,
+    pre_emphasis: float = 0.97,
+    hop_length: int = 80,
+    win_length: int = 400,
+    mean_abs_amp_norm: float = 0.01,
+    n_fft: int | None = None,
+    realse: float = 1.0,
+    key=None,
+):
+    """`from_power_to_wav` with traced ``n_iter``/``momentum`` (see
+    `griffin_lim_dyn`): one executable per spectrogram shape serves every
+    Griffin-Lim quality setting."""
+    P = jnp.maximum(0.0, P)
+
+    if realse != 1.0:
+        p_mean = jnp.mean(P)
+        P = P**realse
+        P = (p_mean / jnp.mean(P)) * P
+
+    F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
+    y = griffin_lim_dyn(F, win_length, hop_length, n_iter, n_fft=n_fft,
+                        key=key, momentum=momentum)
 
     if pre_emphasis != 0.0:
         y = inv_preemphasis(y, pre_emphasis)

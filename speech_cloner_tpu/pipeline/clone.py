@@ -185,6 +185,30 @@ class ClonePipeline:
         peak = jnp.maximum(jnp.max(jnp.abs(wav)), 1e-9)
         return jnp.clip(wav / peak * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
+    def device_vocode_pcm16_dyn(self, stft_pred, key, n_iter, momentum):
+        """`device_vocode_pcm16` with the Griffin-Lim iteration count and
+        momentum as TRACED runtime arguments (ops.from_power_to_wav_dyn):
+        one compiled vocoder executable per spectrogram shape serves every
+        quality setting — parity-200 and fast-GL-25 in the bench, or a
+        per-request quality knob in serving — with no recompile and no
+        high-trip-count static loop for the axon runtime's erratic
+        first-execution path to choke on (docs/ROUND5.md, VERDICT r4 #4)."""
+        from ..ops import from_power_to_wav_dyn
+
+        wav = from_power_to_wav_dyn(
+            stft_pred, n_iter, momentum,
+            P_dB_norm_factor=self.feat_cfg.P_dB_norm_factor,
+            pre_emphasis=self.feat_cfg.pre_emphasis,
+            hop_length=self.feat_cfg.hop_length,
+            win_length=self.feat_cfg.win_length,
+            mean_abs_amp_norm=self.mean_abs_amp_norm,
+            n_fft=self.feat_cfg.n_fft_,
+            realse=self.realse,
+            key=key,
+        )
+        peak = jnp.maximum(jnp.max(jnp.abs(wav)), 1e-9)
+        return jnp.clip(wav / peak * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+
     # ----------------------------------------------------------- batching ---
 
     def device_convert_batch(self, wavs, key, params=None):

@@ -347,3 +347,48 @@ def test_griffin_lim_unroll_is_identical():
         y1 = run(1)
         for k in (3, 5, 8):  # 5 rounds down to divisor 4; 8 = full unroll
             np.testing.assert_array_equal(y1, run(k))
+
+
+def test_griffin_lim_dyn_matches_static():
+    """The dynamic-trip-count form (num_iters/momentum as traced runtime
+    values — ONE executable for every quality setting, ops/griffin_lim.py
+    griffin_lim_dyn) reconstructs identically to the static loop at momentum
+    0 and 0.99. The only tolerated difference is the sign of zeros (momentum
+    0.0 computes P + 0*(P-P_prev)), which |.|/normalize cannot observe."""
+    import functools
+
+    import jax
+
+    from speech_cloner_tpu.ops.griffin_lim import griffin_lim, griffin_lim_dyn
+
+    amp = jnp.asarray(np.abs(RNG.standard_normal((60, 201))).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    dyn = jax.jit(functools.partial(
+        griffin_lim_dyn, win_length=400, hop_length=80, n_fft=400))
+    for momentum in (0.0, 0.99):
+        ref = np.asarray(jax.jit(functools.partial(
+            griffin_lim, win_length=400, hop_length=80, num_iters=9,
+            n_fft=400, momentum=momentum))(amp, key=key))
+        got = np.asarray(dyn(amp, num_iters=np.int32(9),
+                             momentum=np.float32(momentum), key=key))
+        np.testing.assert_allclose(got, ref, atol=0.0, rtol=0.0)
+    # num_iters really is runtime data: same executable, different counts
+    y3 = np.asarray(dyn(amp, num_iters=np.int32(3), momentum=np.float32(0.0), key=key))
+    y9 = np.asarray(dyn(amp, num_iters=np.int32(9), momentum=np.float32(0.0), key=key))
+    assert np.abs(y3 - y9).max() > 0.0
+
+
+def test_from_power_to_wav_dyn_matches_static():
+    import functools
+
+    y = _chirp(4000)
+    cfg = FeatureConfig()
+    _, _, P_dB = ops.mfcc_input(y, cfg, xp=np)
+    ref = np.asarray(jax.jit(functools.partial(
+        ops.from_power_to_wav, hop_length=80, win_length=400,
+        mean_abs_amp_norm=0.01, n_iter=8, realse=1.2))(jnp.asarray(P_dB)))
+    got = np.asarray(jax.jit(functools.partial(
+        ops.from_power_to_wav_dyn, hop_length=80, win_length=400,
+        mean_abs_amp_norm=0.01, realse=1.2))(
+            jnp.asarray(P_dB), np.int32(8), np.float32(0.0)))
+    np.testing.assert_allclose(got, ref, atol=0.0, rtol=0.0)

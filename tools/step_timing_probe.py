@@ -78,22 +78,29 @@ def main():
         — the enqueue path itself backpressures once steps are large. A
         warmup chain absorbs a one-time post-compile stall (~50 s observed)
         before the timed rounds."""
-        t0 = time.perf_counter()
-        out = fn(ts, *batch)
-        jax.block_until_ready(out)
-        compile_s = time.perf_counter() - t0
-        cur = ts
-        for _ in range(5):  # warmup: absorb post-compile pipeline stalls
-            cur, metrics = fn(cur, *batch)
-        float(np.asarray(metrics["loss"]))
-        best = float("inf")
-        for _ in range(3):
-            cur = ts
+        try:
             t0 = time.perf_counter()
-            for _ in range(K):
+            out = fn(ts, *batch)
+            jax.block_until_ready(out)
+            compile_s = time.perf_counter() - t0
+            cur = ts
+            for _ in range(5):  # warmup: absorb post-compile pipeline stalls
                 cur, metrics = fn(cur, *batch)
-            float(np.asarray(metrics["loss"]))  # hard sync: full K-chain done
-            best = min(best, (time.perf_counter() - t0) / K)
+            float(np.asarray(metrics["loss"]))
+            best = float("inf")
+            for _ in range(3):
+                cur = ts
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    cur, metrics = fn(cur, *batch)
+                float(np.asarray(metrics["loss"]))  # hard sync: K-chain done
+                best = min(best, (time.perf_counter() - t0) / K)
+        except Exception as e:  # e.g. HBM OOM at the top of the ladder:
+            # report the cell and keep sweeping — the failing B is itself
+            # a ladder datapoint (the capacity ceiling)
+            print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:200]})",
+                  flush=True)
+            return None
         print(f"{name}: compile {compile_s:6.1f}s  chained step "
               f"{best * 1e3:7.2f} ms", flush=True)
         return best
@@ -111,7 +118,8 @@ def main():
             fn = jax.jit(lambda t, a, b, dt=dt: encoder_train_step(
                 t, a, b, cfg=enc_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
             s = chain_time(f"encoder B={B} {'bf16' if dt else 'f32'}", fn, ts_e, x, y)
-            results.append(("encoder", B, "bf16" if dt else "f32", s))
+            if s is not None:
+                results.append(("encoder", B, "bf16" if dt else "f32", s))
 
         dec_cfg = dec_m.DecoderConfig()
         dec_params, dec_state = dec_m.init(jax.random.PRNGKey(2), dec_cfg)
@@ -124,7 +132,8 @@ def main():
                 enc_cfg=enc_cfg, cfg=dec_cfg, loss_cfg=loss_cfg,
                 opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
             s = chain_time(f"decoder B={B} {'bf16' if dt else 'f32'}", fn, ts_d, x, mel, stft)
-            results.append(("decoder", B, "bf16" if dt else "f32", s))
+            if s is not None:
+                results.append(("decoder", B, "bf16" if dt else "f32", s))
 
         spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201, n_output=34)
         spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
@@ -135,7 +144,8 @@ def main():
             fn = jax.jit(lambda t, a, b, dt=dt: speaker_train_step(
                 t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
             s = chain_time(f"speaker-ID B={B} {'bf16' if dt else 'f32'}", fn, ts_s, power, cls)
-            results.append(("speaker", B, "bf16" if dt else "f32", s))
+            if s is not None:
+                results.append(("speaker", B, "bf16" if dt else "f32", s))
 
     for b in ([int(v) for v in args.batches.split(",")] if args.batches
               else [B]):
