@@ -51,12 +51,17 @@ def main():
     enc_ckpt = "/root/reference/enc_14_ckpt/encoder-136512"
     enc_ckpt = enc_ckpt if os.path.exists(enc_ckpt + ".index") else None
 
+    # gl_dft="matmul": the GL transforms run as MXU matmuls against cos/sin
+    # bases instead of the FFT custom call — parity RTF 0.0034 vs
+    # 0.0059-0.0063 measured (1.7x end-to-end, docs/ROUND5.md), same exact
+    # DFT to ~1e-5. SCL_BENCH_DFT=fft restores the FFT kernel.
     pipe = make_pipeline(
         enc_cfg=enc_m.EncoderConfig(),
         dec_cfg=dec_m.DecoderConfig(),
         enc_ckpt=enc_ckpt,
         n_iter=200,
         realse=1.2,
+        gl_dft=os.environ.get("SCL_BENCH_DFT", "matmul"),
     )
 
     # synthetic 60 s speech-band test clip
@@ -184,6 +189,7 @@ def main():
             "fast_gl_momentum": FAST_MOM,
             "fast_gl_best_wall_s": best_fast,
             "backend": jax.default_backend(),
+            "gl_dft": pipe.gl_dft,
             "encoder_weights": "enc_14_ckpt" if enc_ckpt else "random",
             "compile_parity_s": round(compile_parity_s, 1),
             "compile_predict_s": round(compile_predict_s, 1),

@@ -34,6 +34,7 @@ def griffin_lim(
     momentum: float = 0.0,
     unroll: int = 1,
     return_stft: bool = False,
+    dft: str = "fft",
 ):
     """Phase reconstruction from a time-major magnitude spectrogram [T, F].
 
@@ -75,9 +76,9 @@ def griffin_lim(
 
     def project(S):
         wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
-                    window=window, xp=jnp)
+                    window=window, xp=jnp, dft=dft)
         return stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
-                    window=window, xp=jnp)
+                    window=window, xp=jnp, dft=dft)
 
     def replace_magnitude(S):
         # amp * S/|S| == amp * exp(i*angle(S)) (audio_lib.py:268-270) but as a
@@ -115,7 +116,7 @@ def griffin_lim(
             S, _ = jax.lax.fori_loop(0, n_body // k, body,
                                      (S0, jnp.zeros_like(S0)))
     wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
-                window=window, xp=jnp)
+                window=window, xp=jnp, dft=dft)
     return (wav, S) if return_stft else wav
 
 
@@ -130,6 +131,7 @@ def griffin_lim_dyn(
     init_phase=None,
     momentum=0.0,
     return_stft: bool = False,
+    dft: str = "fft",
 ):
     """`griffin_lim` with ``num_iters`` and ``momentum`` as TRACED runtime
     values: one compiled executable serves every (iteration count, momentum)
@@ -162,9 +164,9 @@ def griffin_lim_dyn(
 
     def project(S):
         wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
-                    window=window, xp=jnp)
+                    window=window, xp=jnp, dft=dft)
         return stft(wav, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
-                    window=window, xp=jnp)
+                    window=window, xp=jnp, dft=dft)
 
     def replace_magnitude(S):
         mag = jnp.abs(S)
@@ -185,7 +187,7 @@ def griffin_lim_dyn(
     _, S, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), S0, jnp.zeros_like(S0)))
     wav = istft(S, hop_length=hop_length, win_length=win_length, n_fft=n_fft,
-                window=window, xp=jnp)
+                window=window, xp=jnp, dft=dft)
     return (wav, S) if return_stft else wav
 
 
@@ -202,8 +204,14 @@ def from_power_to_wav(
     key=None,
     momentum: float = 0.0,
     unroll: int = 1,
+    dft: str = "fft",
 ):
-    """Normalized power_dB map [T, n_stft] -> waveform, entirely on device."""
+    """Normalized power_dB map [T, n_stft] -> waveform, entirely on device.
+
+    ``dft="matmul"`` computes the STFT/ISTFT pairs as MXU matmuls against
+    precomputed cos/sin bases (ops/stft.py `_dft_mats`) — measured 1.7x
+    faster end-to-end for 200-iter GL on a 60 s clip (parity RTF 0.0034 vs
+    0.0059-0.0063, docs/ROUND5.md), numerically equivalent to ~1e-5."""
     P = jnp.maximum(0.0, P)
 
     if realse != 1.0:  # spectral sharpening with mean-power renorm (audio_lib.py:292-296)
@@ -213,7 +221,7 @@ def from_power_to_wav(
 
     F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
     y = griffin_lim(F, win_length, hop_length, num_iters=n_iter, n_fft=n_fft,
-                    key=key, momentum=momentum, unroll=unroll)
+                    key=key, momentum=momentum, unroll=unroll, dft=dft)
 
     if pre_emphasis != 0.0:
         y = inv_preemphasis(y, pre_emphasis)
@@ -234,10 +242,13 @@ def from_power_to_wav_dyn(
     n_fft: int | None = None,
     realse: float = 1.0,
     key=None,
+    dft: str = "fft",
 ):
     """`from_power_to_wav` with traced ``n_iter``/``momentum`` (see
     `griffin_lim_dyn`): one executable per spectrogram shape serves every
-    Griffin-Lim quality setting."""
+    Griffin-Lim quality setting. ``dft="matmul"`` computes the transforms
+    as MXU matmuls — no FFT custom call, hence no axon first-execution
+    finalize stall (ops/stft.py `_dft_mats`)."""
     P = jnp.maximum(0.0, P)
 
     if realse != 1.0:
@@ -247,7 +258,7 @@ def from_power_to_wav_dyn(
 
     F = jnp.sqrt(db_to_power(P / P_dB_norm_factor - 80.0, xp=jnp))
     y = griffin_lim_dyn(F, win_length, hop_length, n_iter, n_fft=n_fft,
-                        key=key, momentum=momentum)
+                        key=key, momentum=momentum, dft=dft)
 
     if pre_emphasis != 0.0:
         y = inv_preemphasis(y, pre_emphasis)

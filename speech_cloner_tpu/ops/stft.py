@@ -45,6 +45,59 @@ def _frame(y, n_fft: int, hop: int, xp):
     return y[idx]
 
 
+_dft_mats_cache: dict = {}
+
+
+def _dft_mats(n_fft: int):
+    """Real rfft/irfft as four [F, N] / [N, F] matmul bases (f64-built,
+    f32-stored). The matmul form exists because the production n_fft (400)
+    keeps the bases tiny (201x400 f32 = 321 KB HLO constants), the DFT
+    matmul runs on the MXU, and — decisive on the axon runtime — a program
+    with no FFT custom call skips the erratic per-process first-execution
+    finalize stall the FFT path pays (docs/ROUND5.md; 55.9-946 s observed).
+    """
+    got = _dft_mats_cache.get(n_fft)
+    if got is None:
+        k = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
+        n = np.arange(n_fft, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * k * n / n_fft
+        fwd_re = np.cos(ang).astype(np.float32)           # X_k = sum x_n e^{-i 2pi kn/N}
+        fwd_im = (-np.sin(ang)).astype(np.float32)
+        c = np.full(n_fft // 2 + 1, 2.0)                  # hermitian fold-back weights
+        c[0] = 1.0
+        if n_fft % 2 == 0:
+            c[-1] = 1.0
+        inv_re = ((c[:, None] * np.cos(ang)) / n_fft).astype(np.float32)
+        inv_im = ((-(c[:, None] * np.sin(ang))) / n_fft).astype(np.float32)
+        got = _dft_mats_cache[n_fft] = (fwd_re, fwd_im, inv_re, inv_im)
+    return got
+
+
+def _mm(a, b, xp):
+    """f32-accurate matmul: HIGHEST precision on device (the MXU's default
+    bf16 passes would erode the DFT below the 1e-5 the golden tests pin)."""
+    if xp is np:
+        return a @ b
+    return xp.matmul(a, b, precision="highest")
+
+
+def _rfft(frames, n_fft: int, xp, dft: str = "fft"):
+    if dft == "fft":
+        return xp.fft.rfft(frames, n=n_fft, axis=1)
+    fwd_re, fwd_im, _, _ = _dft_mats(n_fft)
+    re = _mm(frames, xp.asarray(fwd_re.T), xp)
+    im = _mm(frames, xp.asarray(fwd_im.T), xp)
+    return re + 1j * im
+
+
+def _irfft(S, n_fft: int, xp, dft: str = "fft"):
+    if dft == "fft":
+        return xp.fft.irfft(S, n=n_fft, axis=1)
+    _, _, inv_re, inv_im = _dft_mats(n_fft)
+    return (_mm(xp.real(S).astype(xp.float32), xp.asarray(inv_re), xp)
+            + _mm(xp.imag(S).astype(xp.float32), xp.asarray(inv_im), xp))
+
+
 def stft(
     y,
     n_fft: int = 400,
@@ -53,10 +106,14 @@ def stft(
     window: str = "hann",
     center: bool = True,
     xp=None,
+    dft: str = "fft",
 ):
     """Complex STFT of a 1-D signal -> [T, 1 + n_fft//2] (time-major).
 
     Matches librosa.stft (audio_lib.py:141-147) up to the [F,T] transpose.
+    ``dft="matmul"`` computes the transform as two MXU matmuls against
+    precomputed cos/sin bases instead of the FFT custom call (see
+    `_dft_mats`); numerically equivalent to ~1e-5.
     """
     if xp is None:
         import jax.numpy as jnp
@@ -68,7 +125,7 @@ def stft(
     if center:
         y = xp.pad(y, n_fft // 2, mode="reflect")
     frames = _frame(y, n_fft, hop_length, xp) * win[None, :]
-    return xp.fft.rfft(frames, n=n_fft, axis=1)
+    return _rfft(frames, n_fft, xp, dft)
 
 
 def _overlap_add(frames, hop: int, xp):
@@ -117,12 +174,14 @@ def istft(
     center: bool = True,
     length: int | None = None,
     xp=None,
+    dft: str = "fft",
 ):
     """Inverse STFT of a time-major complex [T, 1 + n_fft//2] spectrogram.
 
     librosa.istft semantics (audio_lib.py:260): windowed irfft per frame,
     overlap-add, divide by the squared-window envelope where it is
     non-negligible, trim n_fft//2 from both ends when center=True.
+    ``dft="matmul"``: MXU matmul DFT instead of the FFT custom call.
     """
     if xp is None:
         import jax.numpy as jnp
@@ -134,7 +193,7 @@ def istft(
         win_length = n_fft
     win = pad_center(get_window(window, win_length, xp=xp), n_fft, xp=xp)
     n_frames = S.shape[0]
-    frames = xp.fft.irfft(S, n=n_fft, axis=1) * win[None, :]
+    frames = _irfft(S, n_fft, xp, dft) * win[None, :]
     y = _overlap_add(frames, hop_length, xp)
     wss = window_sumsquare(window, n_frames, hop_length, win_length, n_fft, xp=xp)
     tiny = np.finfo(np.float32).tiny

@@ -46,6 +46,10 @@ class ClonePipeline:
     gl_unroll: int = 1                # GL loop-body unroll (identical math);
                                       # >= n_iter-1 removes the while loop —
                                       # pays at small frame counts (streaming)
+    gl_dft: str = "fft"               # "matmul" = MXU matmul DFT in the GL
+                                      # transforms (ops/stft.py _dft_mats):
+                                      # 1.7x faster 200-iter vocode, same
+                                      # transform to ~1e-5 (docs/ROUND5.md)
     mean_abs_amp_norm: float = 0.045  # 15 * 0.003 (test.py:153,165)
     compute_dtype: object = None      # e.g. jnp.bfloat16 (opt-in; None = f32 parity)
 
@@ -168,6 +172,7 @@ class ClonePipeline:
             key=key,
             momentum=self.gl_momentum,
             unroll=self.gl_unroll,
+            dft=self.gl_dft,
         )
 
     def device_convert(self, wav, key):
@@ -205,6 +210,7 @@ class ClonePipeline:
             n_fft=self.feat_cfg.n_fft_,
             realse=self.realse,
             key=key,
+            dft=self.gl_dft,
         )
         peak = jnp.maximum(jnp.max(jnp.abs(wav)), 1e-9)
         return jnp.clip(wav / peak * 32767.0, -32768.0, 32767.0).astype(jnp.int16)

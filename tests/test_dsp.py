@@ -378,6 +378,37 @@ def test_griffin_lim_dyn_matches_static():
     assert np.abs(y3 - y9).max() > 0.0
 
 
+def test_matmul_dft_matches_fft():
+    """dft="matmul" (MXU matmul against cos/sin bases — no FFT custom call,
+    ops/stft.py _dft_mats) must match the FFT path to float32 round-off on
+    both backends, for stft, istft round-trip, and the dynamic GL."""
+    y = _chirp(4000)
+    for xp in (np, jnp):
+        ref = np.asarray(ops.stft(xp.asarray(y), n_fft=400, hop_length=80, xp=xp))
+        got = np.asarray(ops.stft(xp.asarray(y), n_fft=400, hop_length=80, xp=xp,
+                                  dft="matmul"))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+        rec_ref = np.asarray(ops.istft(xp.asarray(ref), hop_length=80, xp=xp))
+        rec_got = np.asarray(ops.istft(xp.asarray(ref), hop_length=80, xp=xp,
+                                       dft="matmul"))
+        np.testing.assert_allclose(rec_got, rec_ref, atol=2e-5)
+
+    # GL end-to-end: same init phase, both paths reconstruct ~the same wav
+    import functools
+
+    from speech_cloner_tpu.ops.griffin_lim import griffin_lim_dyn
+
+    S_amp = np.abs(ops.stft(y, n_fft=400, hop_length=80, xp=np)).astype(np.float32)
+    phase0 = (np.pi * np.random.default_rng(7).random(S_amp.shape)).astype(np.float32)
+    outs = {}
+    for dft in ("fft", "matmul"):
+        fn = jax.jit(functools.partial(
+            griffin_lim_dyn, win_length=400, hop_length=80, n_fft=400, dft=dft))
+        outs[dft] = np.asarray(fn(jnp.asarray(S_amp), num_iters=np.int32(8),
+                                  momentum=np.float32(0.0), init_phase=phase0))
+    np.testing.assert_allclose(outs["matmul"], outs["fft"], atol=5e-4)
+
+
 def test_from_power_to_wav_dyn_matches_static():
     import functools
 

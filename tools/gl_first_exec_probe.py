@@ -30,6 +30,15 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dft", choices=("fft", "matmul"), default="fft",
+                    help="matmul = MXU matmul DFT (no FFT custom call): run "
+                         "in a FRESH process to test whether the finalize "
+                         "stall is tied to the FFT custom call")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -62,12 +71,16 @@ def main():
     from speech_cloner_tpu.ops import from_power_to_wav_dyn
 
     key = jax.random.PRNGKey(0)
+    dft = args.dft
     for frames in (1024,):
         p = jnp.abs(jax.random.normal(key, (frames, 201))) * 0.3
         f = jax.jit(lambda pp, n, m: from_power_to_wav_dyn(
-            pp, n, m, hop_length=80, win_length=400, realse=1.2, key=key))
-        t(f"2. dyn GL      [{frames:5d},201], n=2    ",
+            pp, n, m, hop_length=80, win_length=400, realse=1.2, key=key,
+            dft=dft))
+        t(f"2. dyn GL ({dft}) [{frames:5d},201], n=2    ",
           lambda f=f, p=p: f(p, np.int32(2), np.float32(0.0)))
+        t(f"2b. dyn GL ({dft}) [{frames:5d},201], n=200  ",
+          lambda f=f, p=p: f(p, np.int32(200), np.float32(0.0)))
 
     # 3. bench-shaped dynamic vocode (same jit identity as bench.py uses:
     #    ClonePipeline.device_vocode_pcm16_dyn on a [12000, 201] power map)
@@ -78,11 +91,16 @@ def main():
     pipe = make_pipeline(enc_cfg=enc_m.EncoderConfig(),
                          dec_cfg=dec_m.DecoderConfig(),
                          n_iter=200, realse=1.2)
-    f_big = jax.jit(pipe.device_vocode_pcm16_dyn)
+    if dft == "fft":
+        f_big = jax.jit(pipe.device_vocode_pcm16_dyn)
+    else:
+        f_big = jax.jit(lambda pp, k, n, m: from_power_to_wav_dyn(
+            pp, n, m, hop_length=80, win_length=400, realse=1.2, key=k,
+            dft="matmul"))
     p_big = jnp.abs(jax.random.normal(key, (12000, 201))) * 0.3
-    t("3. bench dyn vocode [12000,201], n=2  ",
+    t(f"3. bench dyn vocode ({dft}) [12000,201], n=2  ",
       lambda: f_big(p_big, key, np.int32(2), np.float32(0.0)))
-    t("3b. bench dyn vocode [12000,201], n=200",
+    t(f"3b. bench dyn vocode ({dft}) [12000,201], n=200",
       lambda: f_big(p_big, key, np.int32(200), np.float32(0.0)))
 
 
