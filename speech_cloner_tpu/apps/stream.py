@@ -60,6 +60,10 @@ def main(argv=None):
                     help="GL loop-body unroll (identical math; measured "
                          "~7%% per-chunk win at streaming shapes — "
                          "tools/gl_unroll_probe.py)")
+    ap.add_argument("--gl-dft", choices=("fft", "matmul"), default="fft",
+                    help="GL transform kernel: matmul = MXU DFT bases "
+                         "(1.7x on the offline parity vocode, same "
+                         "transform to ~1e-5 — docs/ROUND5.md)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--gain-mode", choices=("running", "frozen"),
                     default="running",
@@ -110,7 +114,7 @@ def main(argv=None):
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, gl_momentum=args.gl_momentum,
-                         gl_unroll=args.gl_unroll,
+                         gl_unroll=args.gl_unroll, gl_dft=args.gl_dft,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
     s = StreamingCloner(pipe, chunk_frames=args.chunk_frames,
                         context_frames=args.context_frames,

@@ -771,7 +771,7 @@ class StreamingCloner:
                                  num_iters=p.n_iter, n_fft=feat.n_fft_,
                                  window=feat.window, init_phase=phase0,
                                  momentum=p.gl_momentum, unroll=p.gl_unroll,
-                                 return_stft=True)
+                                 dft=p.gl_dft, return_stft=True)
             if not tail:
                 return wav
             return wav, jnp.angle(S[tail_lo - self.M : tail_lo])

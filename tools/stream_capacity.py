@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--n-iter", type=int, default=25)
     ap.add_argument("--gl-momentum", type=float, default=0.99)
     ap.add_argument("--gl-unroll", type=int, default=6)
+    ap.add_argument("--gl-dft", choices=("fft", "matmul"), default="matmul",
+                    help="GL transform kernel; matmul (MXU DFT bases) "
+                         "measured 1.7x on the offline parity vocode "
+                         "(docs/ROUND5.md)")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("SCL_COMPILE_CACHE", "1")
@@ -69,7 +73,7 @@ def main(argv=None):
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, gl_momentum=args.gl_momentum,
-                         gl_unroll=args.gl_unroll)
+                         gl_unroll=args.gl_unroll, gl_dft=args.gl_dft)
 
     sr = feat_cfg.sample_rate
     hop = feat_cfg.hop_length
