@@ -62,7 +62,11 @@ def main(argv=None):
     ap.add_argument("--ds-cfg", help="reference-format ds cfg json")
     ap.add_argument("--model-path", default="./dec_ckpt")
     ap.add_argument("--log-dir", default="./dec_stats_dir")
-    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="default 32 = reference parity; the decoder step is "
+                         "MXU-bound at 45%% MFU so batch buys ~nothing "
+                         "(ladder: 810-897 windows/s flat across 32-512 — "
+                         "docs/DESIGN.md); 32-64 recommended")
     ap.add_argument("--n-epochs", type=int, default=99999)
     ap.add_argument("--save-each-n-epochs", type=int, default=10)
     ap.add_argument("--prop-val", type=float, default=0.02)

@@ -46,7 +46,11 @@ def main(argv=None):
     ap.add_argument("--log-dir", default="./enc_stats_dir")
     ap.add_argument("--enc-cfg", help="reference-format encoder cfg json")
     ap.add_argument("--ds-cfg", help="reference-format ds cfg json")
-    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="default 32 = reference parity (encoder.py:256-263, "
+                         "a CPU-feed_dict choice); measured throughput knee "
+                         "is 128 with --bf16 (22.2k vs 6.6k windows/s — "
+                         "docs/DESIGN.md batch ladder)")
     ap.add_argument("--n-epochs", type=int, default=99999)
     ap.add_argument("--save-each-n-epochs", type=int, default=3)
     ap.add_argument("--max-steps", type=int, default=None)

@@ -31,7 +31,11 @@ def main(argv=None):
     ap.add_argument("--ds-path", required=True)
     ap.add_argument("--ds-cfg")
     ap.add_argument("--model-path", default="./spk_ckpt")
-    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="default 32 = reference parity; measured knee is "
+                         "128 with --bf16 (6.4k vs 2.0k windows/s: the "
+                         "tiny-channel convs\' fixed overhead amortizes to "
+                         "B=128 — docs/DESIGN.md batch ladder)")
     ap.add_argument("--n-epochs", type=int, default=1000)
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
