@@ -35,6 +35,11 @@ def main():
                          "a law; the scan-latency-bound steps amortize "
                          "their per-step floor almost linearly with B "
                          "(docs/DESIGN.md batch ladder).")
+    ap.add_argument("--spk-time-fold",
+                    help="comma list of time_fold values: measure ONLY the "
+                         "speaker-ID step at each fold (the C_in=1 "
+                         "shape-pathology A/B, VERDICT r4 #8; fold=1 is the "
+                         "reference architecture, voice_identification.py:9-37)")
     args = ap.parse_args()
 
     import jax
@@ -108,11 +113,17 @@ def main():
     dtypes = [None] if args.quick else [None, jnp.bfloat16]
     results = []
 
+    spk_folds = ([int(v) for v in args.spk_time_fold.split(",")]
+                 if args.spk_time_fold else [1])
+
     def measure(B):
         enc_cfg = enc_m.EncoderConfig()
         enc_params, enc_state = enc_m.init(jax.random.PRNGKey(0), enc_cfg)
-        ts_e = make_train_state(enc_params, enc_state, opt_cfg, jax.random.PRNGKey(1))
         x = jnp.asarray(rng.standard_normal((B, 400, 80)), jnp.float32)
+        if args.spk_time_fold:
+            measure_spk(B)
+            return
+        ts_e = make_train_state(enc_params, enc_state, opt_cfg, jax.random.PRNGKey(1))
         y = jnp.asarray(np.eye(61, dtype=np.float32)[rng.integers(0, 61, (B, 400))])
         for dt in dtypes:
             fn = jax.jit(lambda t, a, b, dt=dt: encoder_train_step(
@@ -135,23 +146,34 @@ def main():
             if s is not None:
                 results.append(("decoder", B, "bf16" if dt else "f32", s))
 
-        spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201, n_output=34)
-        spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
-        ts_s = make_train_state(spk_params, spk_state, opt_cfg, jax.random.PRNGKey(5))
+        measure_spk(B)
+
+    def measure_spk(B):
         power = jnp.asarray(rng.standard_normal((B, 400, 201)) * 0.3, jnp.float32)
         cls = jnp.asarray(np.eye(34, dtype=np.float32)[rng.integers(0, 34, (B,))])
-        for dt in dtypes:
-            fn = jax.jit(lambda t, a, b, dt=dt: speaker_train_step(
-                t, a, b, cfg=spk_cfg, opt_cfg=opt_cfg, opt=opt, compute_dtype=dt))
-            s = chain_time(f"speaker-ID B={B} {'bf16' if dt else 'f32'}", fn, ts_s, power, cls)
-            if s is not None:
-                results.append(("speaker", B, "bf16" if dt else "f32", s))
+        for fold in spk_folds:
+            spk_cfg = spk_m.SpeakerIdConfig(n_timesteps=400, n_features=201,
+                                            n_output=34, time_fold=fold)
+            spk_params, spk_state = spk_m.init(jax.random.PRNGKey(4), spk_cfg)
+            ts_s = make_train_state(spk_params, spk_state, opt_cfg,
+                                    jax.random.PRNGKey(5))
+            tag = f"speaker-ID{f' fold={fold}' if fold != 1 else ''}"
+            for dt in dtypes:
+                fn = jax.jit(lambda t, a, b, dt=dt, spk_cfg=spk_cfg:
+                             speaker_train_step(t, a, b, cfg=spk_cfg,
+                                                opt_cfg=opt_cfg, opt=opt,
+                                                compute_dtype=dt))
+                s = chain_time(f"{tag} B={B} {'bf16' if dt else 'f32'}",
+                               fn, ts_s, power, cls)
+                if s is not None:
+                    results.append((f"speaker tf={fold}", B,
+                                    "bf16" if dt else "f32", s))
 
     for b in ([int(v) for v in args.batches.split(",")] if args.batches
               else [B]):
         measure(b)
 
-    if args.batches:
+    if args.batches or args.spk_time_fold:
         import json
 
         print("\nbatch-scaling ladder (windows/s = B / chained-step-s):")
