@@ -64,7 +64,9 @@ def main(argv=None):
                          "TPU-first alternative to the reference's C_in=1 "
                          "shape pathology (26 of 29 ms is conv HBM "
                          "traffic). A different model; 1 = reference "
-                         "architecture. Measured A/B in docs/DESIGN.md.")
+                         "architecture and the measured-A/B default: "
+                         "fold=4 is 4.1x per step but -4.2/-5.4 pts "
+                         "clean/vocoded val acc (docs/DESIGN.md).")
     ap.add_argument("--keep-ckpts", type=int, default=5,
                     help="retain only the newest N checkpoints (best-weight "
                          "saves are ~0.5 GB each at production geometry and "
