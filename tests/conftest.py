@@ -27,13 +27,19 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache for the test session (repo-local, gitignored):
 # the fast gate's cost is dominated by CPU XLA compiles of ~150 distinct
-# small programs (measured: 23 min cold, <6 min warm on this machine) — the
-# same lever the production CLIs use (SCL_COMPILE_CACHE). Numerical behavior
-# is unchanged; SCL_TEST_COMPILE_CACHE=0 opts out (e.g. to measure cold).
+# small programs (measured on this machine: ~24 min cold, 4m52s warm for
+# the 161-test fast set) — the same lever the production CLIs use
+# (SCL_COMPILE_CACHE). Numerical behavior is unchanged;
+# SCL_TEST_COMPILE_CACHE=0 opts out (e.g. to measure cold). Exported as
+# env vars (not only jax.config) so subprocess-spawning tests (train_full
+# CLI stages, test_multiprocess workers) share the same cache.
 if os.environ.get("SCL_TEST_COMPILE_CACHE", "1") != "0":
     _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".xla_cache")
     os.makedirs(_cache_dir, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
