@@ -66,6 +66,12 @@ def main(argv=None):
                     help="GL loop-body unroll (identical math; at whole-clip "
                          "frame counts the loop is compute-bound and 1 is "
                          "right — tools/gl_unroll_probe.py)")
+    ap.add_argument("--gl-dft", choices=("fft", "matmul"), default="matmul",
+                    help="GL transform kernel: 'matmul' runs the DFTs as MXU "
+                         "matmuls against precomputed cos/sin bases — "
+                         "measured 1.7x faster end to end on v5e, exact to "
+                         "~1e-5 (docs/ROUND5.md); 'fft' restores the FFT "
+                         "custom call")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 model compute (f32 vocoder/softmax)")
     ap.add_argument("--save-true", action="store_true")
@@ -101,7 +107,7 @@ def main(argv=None):
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, realse=args.realse,
                          gl_momentum=args.gl_momentum,
-                         gl_unroll=args.gl_unroll,
+                         gl_unroll=args.gl_unroll, gl_dft=args.gl_dft,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     if not os.path.exists(args.input):
