@@ -193,24 +193,39 @@ def main(argv=None):
             sys.stdout.flush()
 
     sr = feat_cfg.sample_rate
+    # clips pad to window-bucket multiples (n_timesteps*hop samples = 2.0 s
+    # at production geometry), and each bucket is its own pair of compiled
+    # programs. Warm the bucket containing the requested duration AND the
+    # next one: a nominal "60 s" clip is usually a few ms past 60.0 and
+    # lands one bucket up — without this, the first real request paid the
+    # runtime's erratic first-execution finalize (73.8 s measured) that
+    # --warm exists to absorb at startup.
+    bucket = enc_cfg.n_timesteps * feat_cfg.hop_length
+    warmed_lens = set()
     for dur_s in (float(x) for x in args.warm.split(",") if x):
-        t0 = time.perf_counter()
-        warm_wav = np.zeros(int(dur_s * sr), np.float32) + 1e-4
-        if args.verify_ckpt:
-            pipe.convert(warm_wav)
-        else:
-            pipe.convert_pcm16(warm_wav)
-        emit({"warmed_s": dur_s,
-              "compile_s": round(time.perf_counter() - t0, 1)})
-        if args.batch_max > 1 and not args.verify_ckpt:
-            # pre-compile the power-of-two batch variants of this bucket too
-            b = 2
-            while b <= args.batch_max:
-                t0 = time.perf_counter()
-                pipe.convert_batch_pcm16([warm_wav] * b)
-                emit({"warmed_s": dur_s, "batch": b,
-                      "compile_s": round(time.perf_counter() - t0, 1)})
-                b *= 2
+        n = int(dur_s * sr)
+        n_padded = max(((n + bucket - 1) // bucket) * bucket, bucket)
+        for n_warm in (n_padded, n_padded + bucket):
+            if n_warm in warmed_lens:
+                continue
+            warmed_lens.add(n_warm)
+            t0 = time.perf_counter()
+            warm_wav = np.zeros(n_warm, np.float32) + 1e-4
+            if args.verify_ckpt:
+                pipe.convert(warm_wav)
+            else:
+                pipe.convert_pcm16(warm_wav)
+            emit({"warmed_s": round(n_warm / sr, 3),
+                  "compile_s": round(time.perf_counter() - t0, 1)})
+            if args.batch_max > 1 and not args.verify_ckpt:
+                # pre-compile the power-of-two batch variants of this bucket
+                b = 2
+                while b <= args.batch_max:
+                    t0 = time.perf_counter()
+                    pipe.convert_batch_pcm16([warm_wav] * b)
+                    emit({"warmed_s": round(n_warm / sr, 3), "batch": b,
+                          "compile_s": round(time.perf_counter() - t0, 1)})
+                    b *= 2
 
     def out_path_for(in_path: str, explicit: str | None) -> str:
         if explicit:

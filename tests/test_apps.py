@@ -555,9 +555,11 @@ def test_serve_app_backlog_gate(serve_models, tmp_path):
                 return json.loads(line)
 
     try:
-        # two warm records: the 1 s bucket plus its batch-2 variant
+        # four warm records: the 1 s bucket AND the next one up (serve warms
+        # dur's bucket + 1 so nominal-duration clips don't pay the first-
+        # execution stall), each with its batch-2 variant
         seen_warm = 0
-        while seen_warm < 2:
+        while seen_warm < 4:
             if "warmed_s" in next_rec():
                 seen_warm += 1
         recs = []
