@@ -309,3 +309,32 @@ def test_streaming_first_gain_buffered_whole_clip():
     w_end = s2.min_input_frames * p.feat_cfg.hop_length
     g_win = p.feat_cfg.mean_abs_amp_norm / np.mean(np.abs(wav[:w_end]))
     np.testing.assert_allclose(s2._gain, g_win, rtol=1e-6)
+
+
+def test_streaming_bf16_close_to_f32():
+    """compute_dtype=bfloat16 streaming — the capacity lever measured in
+    tools/stream_capacity.py --bf16 — must track the f32 streamed output to
+    bf16 rounding. At production geometry the bf16 streamer's error vs the
+    exact f32 forward is 2.29e-3 max-abs, i.e. indistinguishable from the
+    f32 streamer's own 2.37e-3 truncation error (docs/DESIGN.md); here the
+    two streamers are compared directly on the tiny pipeline."""
+    import dataclasses
+
+    p = _tiny_pipeline()
+    wav = _speechy_wav(2.0, seed=7)
+    kw = dict(chunk_frames=64, context_frames=64, lookahead_frames=48,
+              margin_frames=8, collect_debug=True)
+
+    s1 = StreamingCloner(p, **kw)
+    out1 = s1.convert_all(wav)
+    s2 = StreamingCloner(dataclasses.replace(p, compute_dtype=jnp.bfloat16),
+                         **kw)
+    out2 = s2.convert_all(wav)
+
+    assert out2.shape == out1.shape
+    assert np.isfinite(out2).all()
+    a = np.concatenate(s1.debug_stft)
+    b = np.concatenate(s2.debug_stft)
+    # the dB-normalized predicted spectrogram is O(1); bf16 carries ~3
+    # significant digits through the matmul chain
+    assert np.abs(a - b).max() < 5e-2, np.abs(a - b).max()

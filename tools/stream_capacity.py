@@ -44,6 +44,13 @@ def main(argv=None):
                     help="GL transform kernel; matmul (MXU DFT bases) "
                          "measured 1.7x on the offline parity vocode "
                          "(docs/ROUND5.md)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 model forward (f32 features/vocoder) — the "
+                         "streaming step is model-forward-dominated at "
+                         "B>=16 (docs/DESIGN.md capacity table), so this "
+                         "is the remaining throughput lever; fidelity "
+                         "delta measured in tools/stream_fidelity.py "
+                         "--bf16")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("SCL_COMPILE_CACHE", "1")
@@ -52,6 +59,7 @@ def main(argv=None):
     apply_compile_cache()
 
     import jax
+    import jax.numpy as jnp
 
     from speech_cloner_tpu.models import decoder as dec_m
     from speech_cloner_tpu.models import encoder as enc_m
@@ -73,7 +81,8 @@ def main(argv=None):
                          enc_params=enc_params, enc_state=enc_state,
                          dec_params=dec_params, dec_state=dec_state,
                          n_iter=args.n_iter, gl_momentum=args.gl_momentum,
-                         gl_unroll=args.gl_unroll, gl_dft=args.gl_dft)
+                         gl_unroll=args.gl_unroll, gl_dft=args.gl_dft,
+                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     sr = feat_cfg.sample_rate
     hop = feat_cfg.hop_length

@@ -77,6 +77,11 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=16000,
                     help="push block size in samples (matters for "
                          "--first-gain buffered; 0 = whole clip at once)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the STREAMER's model forward in bf16 while "
+                         "the exact whole-clip reference stays f32 — "
+                         "quantifies the fidelity cost of the bf16 "
+                         "capacity lever (tools/stream_capacity.py --bf16)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -167,9 +172,15 @@ def main(argv=None):
 
     gain = (feat_cfg.mean_abs_amp_norm / float(np.mean(np.abs(wav)))
             if args.calibrated_gain else None)
+    spipe = pipe
+    if args.bf16:
+        import dataclasses
+
+        spipe = dataclasses.replace(pipe, compute_dtype=jnp.bfloat16)
+        print("streamer forward: bf16 (exact reference stays f32)", flush=True)
     for setting in args.settings.split(","):
         lc, rc = (int(x) for x in setting.split(":"))
-        s = StreamingCloner(pipe, chunk_frames=args.chunk, context_frames=lc,
+        s = StreamingCloner(spipe, chunk_frames=args.chunk, context_frames=lc,
                             lookahead_frames=rc, margin_frames=args.margin,
                             input_gain=gain, gain_mode=args.gain_mode,
                             first_gain=args.first_gain, collect_debug=True)
